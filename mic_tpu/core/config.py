@@ -1,0 +1,331 @@
+"""Typed configuration tree for the whole framework.
+
+One dataclass tree covers model / generation / data / training, is JSON
+(de)serializable, and can be overridden from the CLI with dotted flags
+(``--model.decoder.num_layers=2``).  This replaces the reference's nested HF
+``CLIPVisionMBartConfig`` + ``HfArgumentParser``-of-three-dataclasses setup
+(reference: models/flax_clip_vision_mbart/configuration_clip_vision_mbart.py:10-51,
+main.py:61-163) with a single self-contained config system.
+
+``CaptionerConfig.from_hf_dict`` understands the published fused checkpoint's
+``config.json`` layout (``clip_vision_config`` + ``mbart_config`` keys) so HF
+checkpoints import cleanly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _asdict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj):
+        return {f.name: _asdict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_asdict(x) for x in obj]
+    return obj
+
+
+class _JsonMixin:
+    def to_dict(self) -> dict:
+        return _asdict(self)
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in d or d[f.name] is None:
+                continue
+            v = d[f.name]
+            sub = _NESTED.get((cls.__name__, f.name))
+            if sub is not None and isinstance(v, dict):
+                v = sub.from_dict(v)
+            kwargs[f.name] = v
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, path: str):
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# model configs
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig(_JsonMixin):
+    """CLIP-style pre-LN ViT vision tower (defaults = CLIP ViT-B/32)."""
+
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    image_size: int = 224
+    patch_size: int = 32
+    layer_norm_eps: float = 1e-5
+    hidden_act: str = "quick_gelu"
+    attention_dropout: float = 0.0
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        # CLS token + patches; the encoder output the decoder cross-attends to.
+        return self.num_patches + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def tiny(cls, **kw) -> "VisionConfig":
+        base = dict(
+            hidden_size=32, intermediate_size=64, num_layers=2, num_heads=4,
+            image_size=32, patch_size=16,
+        )
+        base.update(kw)
+        return cls(**base)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig(_JsonMixin):
+    """mBART-style pre-norm decoder (defaults = mBART-large-50)."""
+
+    vocab_size: int = 250054
+    d_model: int = 1024
+    ffn_dim: int = 4096
+    num_layers: int = 12
+    num_heads: int = 16
+    max_position_embeddings: int = 1024
+    scale_embedding: bool = True
+    layer_norm_eps: float = 1e-5
+    activation: str = "gelu"
+    dropout: float = 0.1
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    init_std: float = 0.02
+    pad_token_id: int = 1
+    bos_token_id: int = 0
+    eos_token_id: int = 2
+    decoder_start_token_id: int = 2
+    # mBART position embeddings are offset by 2 (positions 0,1 reserved).
+    pos_offset: int = 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+    @classmethod
+    def tiny(cls, **kw) -> "DecoderConfig":
+        base = dict(
+            vocab_size=99, d_model=32, ffn_dim=64, num_layers=2, num_heads=4,
+            max_position_embeddings=64, dropout=0.0,
+        )
+        base.update(kw)
+        return cls(**base)
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig(_JsonMixin):
+    """Defaults for `generate`; per-call kwargs override any field."""
+
+    max_length: int = 64
+    min_length: int = 0
+    num_beams: int = 1
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
+    length_penalty: float = 1.0
+    early_stopping: bool = False
+    decoder_start_token_id: int | None = None  # falls back to DecoderConfig
+    forced_bos_token_id: int | None = None
+    forced_eos_token_id: int | None = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class CaptionerConfig(_JsonMixin):
+    """Composite vision-encoder + text-decoder captioner config.
+
+    Mirrors the capability of the reference's ``CLIPVisionMBartConfig``
+    (configuration_clip_vision_mbart.py:10-51) — one serializable object
+    nesting the two tower configs — without inheriting any HF machinery.
+    """
+
+    vision: VisionConfig = dataclasses.field(default_factory=VisionConfig)
+    decoder: DecoderConfig = dataclasses.field(default_factory=DecoderConfig)
+    generation: GenerationConfig = dataclasses.field(default_factory=GenerationConfig)
+    tie_word_embeddings: bool = True
+    # compute dtype for activations; params are always float32
+    dtype: str = "float32"
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @classmethod
+    def clip_vit_b32_mbart50(cls, **kw) -> "CaptionerConfig":
+        """The flagship config: CLIP ViT-B/32 encoder + mBART-large-50 decoder."""
+        return cls(**kw)
+
+    @classmethod
+    def tiny(cls, **kw) -> "CaptionerConfig":
+        base = dict(vision=VisionConfig.tiny(), decoder=DecoderConfig.tiny())
+        base.update(kw)
+        return cls(**base)
+
+    # -- HF interop ---------------------------------------------------------
+
+    @classmethod
+    def from_hf_dict(cls, d: dict) -> "CaptionerConfig":
+        """Build from the fused HF checkpoint's config.json
+        (keys per reference configuration_clip_vision_mbart.py:33-51)."""
+        cv = d.get("clip_vision_config", {})
+        mb = d.get("mbart_config", {})
+        vision = VisionConfig(
+            hidden_size=cv.get("hidden_size", 768),
+            intermediate_size=cv.get("intermediate_size", 3072),
+            num_layers=cv.get("num_hidden_layers", 12),
+            num_heads=cv.get("num_attention_heads", 12),
+            image_size=cv.get("image_size", 224),
+            patch_size=cv.get("patch_size", 32),
+            layer_norm_eps=cv.get("layer_norm_eps", 1e-5),
+            hidden_act=cv.get("hidden_act", "quick_gelu"),
+            attention_dropout=cv.get("attention_dropout", 0.0),
+        )
+        decoder = DecoderConfig(
+            vocab_size=mb.get("vocab_size", 250054),
+            d_model=mb.get("d_model", 1024),
+            ffn_dim=mb.get("decoder_ffn_dim", 4096),
+            num_layers=mb.get("decoder_layers", 12),
+            num_heads=mb.get("decoder_attention_heads", 16),
+            max_position_embeddings=mb.get("max_position_embeddings", 1024),
+            scale_embedding=mb.get("scale_embedding", True),
+            activation=mb.get("activation_function", "gelu"),
+            dropout=mb.get("dropout", 0.1),
+            attention_dropout=mb.get("attention_dropout", 0.0),
+            activation_dropout=mb.get("activation_dropout", 0.0),
+            init_std=mb.get("init_std", 0.02),
+            pad_token_id=mb.get("pad_token_id", 1),
+            bos_token_id=mb.get("bos_token_id", 0),
+            eos_token_id=mb.get("eos_token_id", 2),
+            decoder_start_token_id=mb.get("decoder_start_token_id", 2),
+        )
+        return cls(
+            vision=vision,
+            decoder=decoder,
+            tie_word_embeddings=d.get("tie_word_embeddings", True),
+        )
+
+    @classmethod
+    def from_hf_json(cls, path: str) -> "CaptionerConfig":
+        with open(path) as f:
+            return cls.from_hf_dict(json.load(f))
+
+
+# ---------------------------------------------------------------------------
+# data / training configs
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig(_JsonMixin):
+    """TSV dataset + input pipeline settings (reference: main.py:104-163)."""
+
+    train_file: str | None = None
+    validation_file: str | None = None
+    images_dir: str = ""
+    max_seq_length: int = 64
+    num_workers: int = 8
+    prefetch: int = 2
+    # languages and their mBART-50 language codes
+    lang_codes: tuple = ("en_XX", "fr_XX", "es_XX", "de_DE")
+    # host-side decode size; device kernels resize/crop to vision.image_size
+    decode_size: int = 256
+    shuffle_seed: int = 42
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig(_JsonMixin):
+    output_dir: str = "runs/default"
+    num_epochs: int = 7
+    per_device_batch_size: int = 64
+    eval_batch_size: int | None = None
+    learning_rate: float = 5e-5
+    warmup_steps: int = 1000
+    weight_decay: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    label_smoothing: float = 0.0
+    max_grad_norm: float | None = None
+    seed: int = 42
+    logging_steps: int = 100
+    eval_steps: int = 3000
+    save_steps: int = 9000
+    save_total_limit: int = 6
+    resume_from: str | None = None
+    # mesh shape: data-parallel x model-parallel
+    dp: int = -1  # -1 = all remaining devices
+    tp: int = 1
+    # remat ("none" | "full") for the decoder/vision blocks
+    remat: str = "none"
+    gen_eval: bool = True  # run BLEU generation eval at eval_steps
+
+
+_NESTED = {
+    ("CaptionerConfig", "vision"): VisionConfig,
+    ("CaptionerConfig", "decoder"): DecoderConfig,
+    ("CaptionerConfig", "generation"): GenerationConfig,
+}
+
+
+def apply_dotted_overrides(cfg, overrides: dict[str, str]):
+    """Apply {"decoder.num_layers": "2"} style overrides to a config tree."""
+    for key, raw in overrides.items():
+        parts = key.split(".")
+        objs = [cfg]
+        for p in parts[:-1]:
+            objs.append(getattr(objs[-1], p))
+        leaf_name = parts[-1]
+        cur = getattr(objs[-1], leaf_name)
+        val = _coerce(raw, cur)
+        new = dataclasses.replace(objs[-1], **{leaf_name: val})
+        for obj, name in zip(reversed(objs[:-1]), reversed(parts[:-1])):
+            new = dataclasses.replace(obj, **{name: new})
+        cfg = new
+    return cfg
+
+
+def _coerce(raw: str, like: Any):
+    if isinstance(like, bool):
+        return raw.lower() in ("1", "true", "yes")
+    if isinstance(like, int):
+        return int(raw)
+    if isinstance(like, float):
+        return float(raw)
+    if isinstance(like, tuple):
+        return tuple(raw.split(","))
+    if like is None:
+        for cast in (int, float):
+            try:
+                return cast(raw)
+            except ValueError:
+                pass
+        return None if raw.lower() == "none" else raw
+    return raw

@@ -1,0 +1,205 @@
+"""The fused vision->text captioner: CLIP-ViT encoder + mBART decoder.
+
+Capability parity target: ``FlaxCLIPVisionMBartForConditionalGeneration``
+(reference: modeling_clip_vision_mbart.py:32-192, 447-651) — shared 250054 x
+1024 token embedding, CLIP vision encoder, visual projection bridging
+CLIP hidden size to mBART d_model, mBART decoder cross-attending to the
+projected patch tokens, LM head tied to the shared embedding plus
+``final_logits_bias``.  The encoder attention mask is implicit: every patch
+token is always attendable (reference: modeling_clip_vision_mbart.py:87-88),
+so no cross-attention mask is materialized at all.
+
+Unlike the reference (vendored HF PreTrainedModel machinery,
+modeling_clip_vision_utils.py:36-451), this class is a thin config holder over
+pure functions: params are an explicit pytree argument everywhere, so the whole
+model jits/shards/checkpoints with zero framework magic.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mic_tpu.core.config import CaptionerConfig
+from mic_tpu.generate import search
+from mic_tpu.generate.processors import build_processors, build_warpers
+from mic_tpu.models import clip_vit, mbart_decoder
+from mic_tpu.nn.cache import DecoderCache, init_cache
+from mic_tpu.nn.layers import Params, dense, init_dense, init_embed
+
+
+class Captioner:
+    def __init__(self, config: CaptionerConfig, attn_impl: str = "xla", remat: bool = False):
+        self.config = config
+        self.attn_impl = attn_impl
+        self.remat = remat
+
+    # -- params -------------------------------------------------------------
+
+    def init_params(self, key: jax.Array) -> Params:
+        cfg = self.config
+        ks, kv, kp, kd, kh = jax.random.split(key, 5)
+        params = {
+            "shared": init_embed(ks, cfg.decoder.vocab_size, cfg.decoder.d_model,
+                                 cfg.decoder.init_std),
+            "vision": clip_vit.init_vision(kv, cfg.vision),
+            "proj": init_dense(kp, cfg.vision.hidden_size, cfg.decoder.d_model,
+                               cfg.decoder.init_std),
+            "decoder": mbart_decoder.init_decoder(kd, cfg.decoder),
+            "final_logits_bias": jnp.zeros((cfg.decoder.vocab_size,), jnp.float32),
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = init_dense(
+                kh, cfg.decoder.d_model, cfg.decoder.vocab_size,
+                cfg.decoder.init_std, use_bias=False,
+            )
+        return params
+
+    @property
+    def dtype(self):
+        return self.config.compute_dtype
+
+    # -- forward ------------------------------------------------------------
+
+    def encode(self, params: Params, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        """pixel_values (B, H, W, 3) float -> projected encoder states
+        (B, 1+num_patches, d_model).  (The reference's separate `encode` had an
+        int32-cast bug, modeling_clip_vision_mbart.py:330 — fixed by design.)"""
+        hidden = clip_vit.apply_vision(
+            params["vision"], pixel_values, self.config.vision,
+            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+        )
+        return dense(params["proj"], hidden, self.dtype)
+
+    def decode_train(
+        self,
+        params: Params,
+        enc_states: jnp.ndarray,
+        decoder_input_ids: jnp.ndarray,
+        decoder_attention_mask: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        hidden = mbart_decoder.apply_decoder(
+            params["decoder"], params["shared"],
+            decoder_input_ids, decoder_attention_mask,
+            enc_states, None, self.config.decoder,
+            dtype=self.dtype, rng=rng, attn_impl=self.attn_impl, remat=self.remat,
+        )
+        return self.lm_logits(params, hidden)
+
+    def __call__(
+        self,
+        params: Params,
+        pixel_values: jnp.ndarray,
+        decoder_input_ids: jnp.ndarray,
+        decoder_attention_mask: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """Teacher-forced forward -> logits (B, T, vocab)."""
+        enc_states = self.encode(params, pixel_values)
+        return self.decode_train(
+            params, enc_states, decoder_input_ids, decoder_attention_mask, rng
+        )
+
+    def lm_logits(self, params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+        if self.config.tie_word_embeddings:
+            kernel = params["shared"]["embedding"].T
+        else:
+            kernel = params["lm_head"]["kernel"]
+        logits = jnp.dot(
+            hidden, kernel.astype(self.dtype), preferred_element_type=self.dtype
+        )
+        return logits + params["final_logits_bias"].astype(self.dtype)
+
+    # -- generation ---------------------------------------------------------
+
+    def init_decode_cache(
+        self, params: Params, enc_states: jnp.ndarray, max_length: int
+    ) -> DecoderCache:
+        cfg = self.config.decoder
+        batch, enc_len = enc_states.shape[0], enc_states.shape[1]
+        cross_k, cross_v = mbart_decoder.init_cross_cache(
+            params["decoder"], enc_states, cfg, self.dtype
+        )
+        empty = init_cache(
+            cfg.num_layers, batch, max_length, enc_len, cfg.num_heads,
+            cfg.head_dim, self.dtype,
+        )
+        return empty._replace(cross_k=cross_k, cross_v=cross_v)
+
+    def decode_step(self, params: Params, token_ids: jnp.ndarray, cache: DecoderCache):
+        """(B, 1) tokens + cache -> ((B, vocab) logits, updated cache)."""
+        hidden, cache = mbart_decoder.decoder_step(
+            params["decoder"], params["shared"], token_ids, cache,
+            self.config.decoder, self.dtype,
+        )
+        return self.lm_logits(params, hidden)[:, 0, :], cache
+
+    def generate(
+        self,
+        params: Params,
+        pixel_values: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+        **overrides,
+    ) -> search.GenerateOutput:
+        """Caption a batch of images. Jittable; all defaults come from
+        config.generation, overridable per call (max_length, num_beams,
+        forced_bos_token_id, decoder_start_token_id, do_sample, ...)."""
+        gen = self.config.generation.replace(**overrides)
+        dec = self.config.decoder
+        start = (
+            gen.decoder_start_token_id
+            if gen.decoder_start_token_id is not None
+            else dec.decoder_start_token_id
+        )
+        batch = pixel_values.shape[0]
+
+        enc_states = self.encode(params, pixel_values)
+        if gen.num_beams > 1:
+            # expand each image's encoder states K times: (B*K, S, D)
+            enc_states = jnp.repeat(enc_states, gen.num_beams, axis=0)
+        cache = self.init_decode_cache(params, enc_states, gen.max_length)
+
+        def step_fn(token_ids, cache):
+            return self.decode_step(params, token_ids, cache)
+
+        processors = build_processors(
+            max_length=gen.max_length,
+            min_len=gen.min_length,
+            eos_token_id=dec.eos_token_id,
+            forced_bos_token_id=gen.forced_bos_token_id,
+            forced_eos_token_id=gen.forced_eos_token_id,
+        )
+        warpers = build_warpers(
+            temperature=gen.temperature, top_k=gen.top_k, top_p=gen.top_p
+        )
+        return search.generate(
+            step_fn, cache, batch,
+            max_length=gen.max_length, start_token_id=start,
+            eos_token_id=dec.eos_token_id, pad_token_id=dec.pad_token_id,
+            num_beams=gen.num_beams, do_sample=gen.do_sample,
+            processors=processors, warpers=warpers,
+            length_penalty=gen.length_penalty, early_stopping=gen.early_stopping,
+            rng=rng,
+        )
+
+    # -- persistence (full save/load lives in mic_tpu/io) --------------------
+
+    def save_pretrained(self, directory: str, params: Params) -> None:
+        from mic_tpu.io import checkpoint
+
+        os.makedirs(directory, exist_ok=True)
+        self.config.to_json(os.path.join(directory, "config.json"))
+        checkpoint.save_params(directory, params)
+
+    @classmethod
+    def from_pretrained(cls, directory: str, **kw) -> tuple["Captioner", Params]:
+        from mic_tpu.io import checkpoint
+
+        config = CaptionerConfig.from_json(os.path.join(directory, "config.json"))
+        model = cls(config, **kw)
+        params = checkpoint.load_params(directory)
+        return model, params

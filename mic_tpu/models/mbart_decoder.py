@@ -1,0 +1,218 @@
+"""mBART-style pre-norm transformer decoder with cross-attention, TPU-first.
+
+Behavioral spec: the mBART-large-50 decoder as used by the reference's fused
+model — shared token embedding scaled by sqrt(d_model), learned positions with
+a +2 offset, layernorm_embedding, pre-norm blocks (self-attn -> cross-attn ->
+MLP), final layer_norm (reference: modeling_clip_vision_mbart.py:49-51, 92 via
+HF FlaxMBartDecoder).
+
+TPU-first design:
+- all layers applied with one `lax.scan` over stacked params;
+- decoding uses the explicit stacked DecoderCache (mic_tpu/nn/cache.py):
+  cross-attention K/V projected ONCE at cache init, per-step self-attn K/V
+  written with `dynamic_update_slice`; the scan's ys ARE the new cache;
+- masks are boolean biases built once per call; softmax/LN in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mic_tpu.core.config import DecoderConfig
+from mic_tpu.nn.attention import (
+    init_mha,
+    mha,
+    mha_decode_step,
+    mha_with_kv,
+    project_kv,
+)
+from mic_tpu.nn.cache import DecoderCache
+from mic_tpu.nn.layers import (
+    ACTIVATIONS,
+    Params,
+    dense,
+    dropout,
+    embed,
+    init_dense,
+    init_layer_norm,
+    layer_norm,
+)
+from mic_tpu.nn.stacked import init_stacked, scan_apply
+
+
+def _init_layer(key, cfg: DecoderConfig) -> Params:
+    ks, kx, k1, k2 = jax.random.split(key, 4)
+    std = cfg.init_std
+    return {
+        "ln_self": init_layer_norm(cfg.d_model),
+        "self_attn": init_mha(ks, cfg.d_model, cfg.num_heads, std),
+        "ln_cross": init_layer_norm(cfg.d_model),
+        "cross_attn": init_mha(kx, cfg.d_model, cfg.num_heads, std),
+        "ln_mlp": init_layer_norm(cfg.d_model),
+        "fc1": init_dense(k1, cfg.d_model, cfg.ffn_dim, std),
+        "fc2": init_dense(k2, cfg.ffn_dim, cfg.d_model, std),
+    }
+
+
+def init_decoder(key, cfg: DecoderConfig) -> Params:
+    """Decoder params WITHOUT the token embedding (that's the shared table)."""
+    kpos, kl = jax.random.split(key)
+    return {
+        "pos_embed": {
+            "embedding": jax.random.normal(
+                kpos, (cfg.max_position_embeddings + cfg.pos_offset, cfg.d_model)
+            )
+            * cfg.init_std
+        },
+        "ln_embed": init_layer_norm(cfg.d_model),
+        "final_ln": init_layer_norm(cfg.d_model),
+        "layers": init_stacked(kl, cfg.num_layers, lambda k: _init_layer(k, cfg)),
+    }
+
+
+def embed_tokens(shared: Params, ids: jnp.ndarray, cfg: DecoderConfig, dtype) -> jnp.ndarray:
+    scale = cfg.d_model**0.5 if cfg.scale_embedding else 1.0
+    return embed(shared, ids, dtype) * jnp.asarray(scale, dtype)
+
+
+def _causal_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, T) padding mask -> (B, 1, T, T) boolean causal+padding mask."""
+    t = attention_mask.shape[-1]
+    causal = jnp.tril(jnp.ones((t, t), jnp.bool_))
+    pad = attention_mask.astype(jnp.bool_)[:, None, None, :]
+    return causal[None, None, :, :] & pad
+
+
+def apply_decoder(
+    params: Params,
+    shared: Params,
+    input_ids: jnp.ndarray,          # (B, T)
+    attention_mask: jnp.ndarray,     # (B, T)  1 = real token
+    enc_states: jnp.ndarray,         # (B, S, d_model) — already projected
+    enc_mask: Optional[jnp.ndarray],  # (B, S) or None (= all ones)
+    cfg: DecoderConfig,
+    dtype=jnp.float32,
+    rng: Optional[jax.Array] = None,
+    attn_impl: str = "xla",
+    remat: bool = False,
+    position_ids: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Teacher-forced full-sequence decode -> hidden states (B, T, d_model)."""
+    b, t = input_ids.shape
+    eps = cfg.layer_norm_eps
+    act = ACTIVATIONS[cfg.activation]
+
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    x = embed_tokens(shared, input_ids, cfg, dtype)
+    x = x + embed(params["pos_embed"], position_ids + cfg.pos_offset, dtype)
+    x = layer_norm(params["ln_embed"], x, eps)
+    x = dropout(x, cfg.dropout, _site(rng, 0))
+
+    self_mask = _causal_mask(attention_mask)
+    if enc_mask is None:
+        cross_mask = None
+    else:
+        cross_mask = enc_mask.astype(jnp.bool_)[:, None, None, :]
+    enc_states = enc_states.astype(dtype)
+
+    def layer(h, p, idx, _):
+        lrng = jax.random.fold_in(rng, idx) if rng is not None else None
+        r = h
+        h = layer_norm(p["ln_self"], h, eps)
+        h = mha(p["self_attn"], h, h, self_mask, cfg.num_heads, impl=attn_impl)
+        h = r + dropout(h, cfg.dropout, _site(lrng, 1))
+        r = h
+        h = layer_norm(p["ln_cross"], h, eps)
+        h = mha(p["cross_attn"], h, enc_states, cross_mask, cfg.num_heads)
+        h = r + dropout(h, cfg.dropout, _site(lrng, 2))
+        r = h
+        h = layer_norm(p["ln_mlp"], h, eps)
+        h = act(dense(p["fc1"], h))
+        h = dropout(h, cfg.activation_dropout, _site(lrng, 3))
+        h = dense(p["fc2"], h)
+        h = r + dropout(h, cfg.dropout, _site(lrng, 4))
+        return h, None
+
+    x, _ = scan_apply(layer, x, params["layers"], remat=remat)
+    return layer_norm(params["final_ln"], x, eps)
+
+
+def _site(rng: Optional[jax.Array], site: int) -> Optional[jax.Array]:
+    return None if rng is None else jax.random.fold_in(rng, site)
+
+
+# ---------------------------------------------------------------------------
+# cached single-token decoding
+
+
+def init_cross_cache(
+    params: Params, enc_states: jnp.ndarray, cfg: DecoderConfig, dtype=jnp.float32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Project encoder states into every layer's cross-attn K/V once.
+
+    Returns (cross_k, cross_v), each (L, B, S, H, Dh).  The reference re-ran
+    these projections every decode step (HF FlaxMBartAttention inside the
+    while_loop) — here they are hoisted out of the loop entirely.
+    """
+    enc_states = enc_states.astype(dtype)
+
+    def one_layer(layer_params):
+        return project_kv(layer_params["cross_attn"], enc_states, cfg.num_heads)
+
+    return jax.vmap(one_layer)(params["layers"])
+
+
+def decoder_step(
+    params: Params,
+    shared: Params,
+    token_ids: jnp.ndarray,   # (B, 1) tokens for this step
+    cache: DecoderCache,
+    cfg: DecoderConfig,
+    dtype=jnp.float32,
+    enc_mask: Optional[jnp.ndarray] = None,  # (B, S) or None
+) -> Tuple[jnp.ndarray, DecoderCache]:
+    """One cached decode step -> (hidden (B, 1, d_model), updated cache)."""
+    eps = cfg.layer_norm_eps
+    act = ACTIVATIONS[cfg.activation]
+    index = cache.index
+
+    x = embed_tokens(shared, token_ids, cfg, dtype)
+    pos = jnp.full(token_ids.shape, index, token_ids.dtype)
+    x = x + embed(params["pos_embed"], pos + cfg.pos_offset, dtype)
+    x = layer_norm(params["ln_embed"], x, eps)
+
+    cross_mask = (
+        None if enc_mask is None else enc_mask.astype(jnp.bool_)[:, None, None, :]
+    )
+
+    def layer(h, p, idx, layer_cache):
+        del idx
+        sk, sv, xk, xv = layer_cache
+        r = h
+        h = layer_norm(p["ln_self"], h, eps)
+        h, sk, sv = mha_decode_step(p["self_attn"], h, sk, sv, index, cfg.num_heads)
+        h = r + h
+        r = h
+        h = layer_norm(p["ln_cross"], h, eps)
+        h = mha_with_kv(p["cross_attn"], h, xk, xv, cross_mask, cfg.num_heads)
+        h = r + h
+        r = h
+        h = layer_norm(p["ln_mlp"], h, eps)
+        h = r + dense(p["fc2"], act(dense(p["fc1"], h)))
+        return h, (sk, sv)
+
+    x, (new_k, new_v) = scan_apply(
+        layer, x, params["layers"],
+        per_layer_xs=(cache.self_k, cache.self_v, cache.cross_k, cache.cross_v),
+    )
+    x = layer_norm(params["final_ln"], x, eps)
+    new_cache = DecoderCache(
+        self_k=new_k, self_v=new_v,
+        cross_k=cache.cross_k, cross_v=cache.cross_v,
+        index=index + token_ids.shape[1],
+    )
+    return x, new_cache

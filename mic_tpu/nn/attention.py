@@ -1,0 +1,89 @@
+"""Multi-head attention as pure functions (projections + core attention).
+
+Numerics match mBART/CLIP: the query is scaled by head_dim**-0.5 *before* the
+score matmul, projections carry biases, softmax runs in float32
+(mic_tpu/ops/attention.py).  Reference behavior being reproduced:
+models/flax_clip_vision_mbart/modeling_clip_vision_mbart.py:92 (decoder
+self/cross attention via HF FlaxMBartAttention) — rebuilt functionally.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mic_tpu.nn.layers import Params, dense, init_dense, merge_heads, split_heads
+from mic_tpu.ops.attention import dot_product_attention
+
+
+def init_mha(key, d_model: int, num_heads: int, std: float = 0.02) -> Params:
+    del num_heads  # head count is an apply-time argument; params are fused
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "q": init_dense(kq, d_model, d_model, std),
+        "k": init_dense(kk, d_model, d_model, std),
+        "v": init_dense(kv, d_model, d_model, std),
+        "o": init_dense(ko, d_model, d_model, std),
+    }
+
+
+def project_kv(params: Params, kv_states: jnp.ndarray, num_heads: int, dtype=None):
+    """K/V projections alone — used to pre-compute cross-attention caches."""
+    k = split_heads(dense(params["k"], kv_states, dtype), num_heads)
+    v = split_heads(dense(params["v"], kv_states, dtype), num_heads)
+    return k, v
+
+
+def mha(
+    params: Params,
+    x: jnp.ndarray,
+    kv_states: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    num_heads: int,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Full-sequence attention: self-attention when kv_states is x."""
+    head_dim = x.shape[-1] // num_heads
+    q = split_heads(dense(params["q"], x) * (head_dim**-0.5), num_heads)
+    k, v = project_kv(params, kv_states, num_heads, x.dtype)
+    out = dot_product_attention(q, k, v, mask=mask, impl=impl)
+    return dense(params["o"], merge_heads(out))
+
+
+def mha_with_kv(
+    params: Params,
+    x: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    num_heads: int,
+) -> jnp.ndarray:
+    """Attention against pre-projected K/V (cached cross-attention)."""
+    head_dim = x.shape[-1] // num_heads
+    q = split_heads(dense(params["q"], x) * (head_dim**-0.5), num_heads)
+    out = dot_product_attention(q, k, v, mask=mask)
+    return dense(params["o"], merge_heads(out))
+
+
+def mha_decode_step(
+    params: Params,
+    x: jnp.ndarray,          # (B, 1, D) current-step hidden states
+    cache_k: jnp.ndarray,    # (B, max_len, H, Dh)
+    cache_v: jnp.ndarray,
+    index: jnp.ndarray,      # scalar int32: tokens already in cache
+    num_heads: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-token cached self-attention. Returns (out, new_k, new_v)."""
+    head_dim = x.shape[-1] // num_heads
+    q = split_heads(dense(params["q"], x) * (head_dim**-0.5), num_heads)
+    k_step, v_step = project_kv(params, x, num_heads)
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k_step, (0, index, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v_step, (0, index, 0, 0))
+    # attend only to the index+1 filled positions
+    max_len = cache_k.shape[1]
+    valid = jnp.arange(max_len) <= index                      # (max_len,)
+    mask = valid[None, None, None, :]                         # (1, 1, 1, max_len)
+    out = dot_product_attention(q, cache_k, cache_v, mask=mask)
+    return dense(params["o"], merge_heads(out)), cache_k, cache_v

@@ -1,0 +1,66 @@
+"""Explicit, stacked KV cache for autoregressive decoding.
+
+A single NamedTuple pytree carries every decoder layer's caches with a leading
+layer axis, so:
+- `lax.scan` over layers threads per-layer cache slices in/out naturally,
+- beam-search reordering is ONE gather over the batch axis of four arrays
+  (vs the reference's per-layer pytree gather,
+  generation_clip_vision_utils.py:945-953),
+- cross-attention K/V are projected once at generation start and never
+  recomputed per step (the reference re-projects encoder states every decode
+  step inside the layer).
+
+Shapes:
+  self_k / self_v : (L, B, max_len, H, Dh)
+  cross_k/ cross_v: (L, B, enc_len, H, Dh)
+  index           : scalar int32 — number of tokens already written.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class DecoderCache(NamedTuple):
+    self_k: jnp.ndarray
+    self_v: jnp.ndarray
+    cross_k: jnp.ndarray
+    cross_v: jnp.ndarray
+    index: jnp.ndarray  # int32 scalar
+
+    @property
+    def batch(self) -> int:
+        return self.self_k.shape[1]
+
+    @property
+    def max_len(self) -> int:
+        return self.self_k.shape[2]
+
+    def reorder(self, batch_indices: jnp.ndarray) -> "DecoderCache":
+        """Gather the cache along the batch axis (beam reordering)."""
+        return DecoderCache(
+            self_k=jnp.take(self.self_k, batch_indices, axis=1),
+            self_v=jnp.take(self.self_v, batch_indices, axis=1),
+            cross_k=jnp.take(self.cross_k, batch_indices, axis=1),
+            cross_v=jnp.take(self.cross_v, batch_indices, axis=1),
+            index=self.index,
+        )
+
+
+def init_cache(
+    num_layers: int,
+    batch: int,
+    max_len: int,
+    enc_len: int,
+    num_heads: int,
+    head_dim: int,
+    dtype=jnp.float32,
+) -> DecoderCache:
+    kv = jnp.zeros((num_layers, batch, max_len, num_heads, head_dim), dtype)
+    xkv = jnp.zeros((num_layers, batch, enc_len, num_heads, head_dim), dtype)
+    return DecoderCache(
+        self_k=kv, self_v=kv, cross_k=xkv, cross_v=xkv,
+        index=jnp.zeros((), jnp.int32),
+    )

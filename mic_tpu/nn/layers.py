@@ -1,0 +1,111 @@
+"""Functional neural-net primitives over explicit param pytrees.
+
+Every layer is a pair of pure functions: ``init_*(key, ...) -> params`` and an
+apply function ``f(params, x, ...) -> y``.  Params are plain nested dicts of
+``jnp.ndarray`` — no module classes, no variable collections.  This keeps the
+whole model a transparent pytree that `jax.jit`/`jax.sharding` and the
+checkpointing layer can see through, and makes layer stacking with `lax.scan`
+(see :mod:`mic_tpu.nn.stacked`) trivial.
+
+Numerics notes:
+- LayerNorm statistics and softmax are always computed in float32 regardless of
+  the compute dtype (bfloat16-safe).
+- ``dense`` kernels are stored ``(in, out)``; HF-torch kernels ``(out, in)``
+  are transposed on import (mic_tpu/io/hf_import.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# initializers
+
+
+def init_dense(key, d_in: int, d_out: int, std: float = 0.02, use_bias: bool = True) -> Params:
+    kkey, _ = jax.random.split(key)
+    p = {"kernel": jax.random.normal(kkey, (d_in, d_out), jnp.float32) * std}
+    if use_bias:
+        p["bias"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def init_layer_norm(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_embed(key, vocab: int, dim: int, std: float = 0.02) -> Params:
+    return {"embedding": jax.random.normal(key, (vocab, dim), jnp.float32) * std}
+
+
+# ---------------------------------------------------------------------------
+# apply fns
+
+
+def dense(params: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    dtype = dtype or x.dtype
+    kernel = params["kernel"].astype(dtype)
+    y = jnp.dot(x.astype(dtype), kernel, preferred_element_type=dtype)
+    if "bias" in params:
+        y = y + params["bias"].astype(dtype)
+    return y
+
+
+def layer_norm(params: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def embed(params: Params, ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    table = params["embedding"]
+    if dtype is not None:
+        table = table.astype(dtype)
+    return jnp.take(table, ids, axis=0)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # CLIP's activation: x * sigmoid(1.702 x)
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "quick_gelu": quick_gelu,
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+}
+
+
+def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarray:
+    """Inverted dropout; identity when rng is None (deterministic) or rate==0."""
+    if rng is None or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+# ---------------------------------------------------------------------------
+# head reshapes
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, t, h, hd = x.shape
+    return x.reshape(b, t, h * hd)

@@ -1,0 +1,49 @@
+"""Stacked-layer utilities: init with vmap, apply with lax.scan.
+
+All transformer stacks in mic_tpu store their per-layer params with a leading
+layer axis (every leaf is (L, ...)) and are applied with `lax.scan`.  On TPU
+this compiles the layer body once instead of L times (a large compile-time win,
+especially inside the beam-search `while_loop`) and gives `jax.checkpoint` a
+natural per-layer remat boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def init_stacked(key, num_layers: int, init_fn: Callable[[jax.Array], Any]):
+    """Stack `num_layers` independent inits: every leaf gains a leading L axis."""
+    keys = jax.random.split(key, num_layers)
+    return jax.vmap(init_fn)(keys)
+
+
+def num_layers_of(stacked_params) -> int:
+    return jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+
+
+def scan_apply(
+    body: Callable,
+    h: jnp.ndarray,
+    stacked_params,
+    per_layer_xs: Optional[Any] = None,
+    remat: bool = False,
+):
+    """Run `body(h, layer_params, layer_idx, per_layer_x) -> (h, ys)` over layers.
+
+    Returns (final_h, stacked_ys). `per_layer_xs` leaves must have a leading L
+    axis; pass None when the body has no per-layer inputs.
+    """
+    L = num_layers_of(stacked_params)
+    idxs = jnp.arange(L, dtype=jnp.int32)
+
+    def scan_body(carry, xs):
+        params, idx, extra = xs
+        return body(carry, params, idx, extra)
+
+    if remat:
+        scan_body = jax.checkpoint(scan_body, prevent_cse=False)
+    return jax.lax.scan(scan_body, h, (stacked_params, idxs, per_layer_xs))

@@ -1,0 +1,51 @@
+"""Scaled dot-product attention with pluggable implementations.
+
+``impl="xla"`` is the default everywhere: at the reference's sequence lengths
+(50 encoder patch tokens, 64 decoder tokens — SURVEY.md §5) a single fused XLA
+softmax-attention is already MXU/VPU-bound and fits VMEM, so a hand-written
+kernel buys nothing.  ``impl="pallas"`` switches to the Pallas flash-attention
+kernel (mic_tpu/ops/flash_attention.py) for longer sequences where the O(T²)
+score matrix stops fitting on chip.
+
+Conventions:
+- q, k, v: (batch, seq, heads, head_dim). q must already carry any scaling
+  (callers multiply q by head_dim**-0.5 to match mBART/CLIP numerics).
+- mask: optional boolean (batch, 1, q_len, kv_len); True = attend.
+- softmax is computed in float32, the output is cast back to q.dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+_NEG_INF = jnp.finfo(jnp.float32).min
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    if impl == "pallas":
+        from mic_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, mask=mask)
+    return _xla_attention(q, k, v, mask)
+
+
+def _xla_attention(q, k, v, mask):
+    dtype = q.dtype
+    # (B, H, Tq, Tk) scores in f32 so bf16 runs keep a stable softmax
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        scores = jnp.where(mask, scores, _NEG_INF)
+    weights = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    weights = weights.astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v, preferred_element_type=dtype)
