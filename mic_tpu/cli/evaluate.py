@@ -1,0 +1,78 @@
+"""Standalone BLEU evaluation of a saved model over a caption TSV
+(reference surface: evaluation.py — per-language beam-4 generate + BLEU-1..4).
+
+    python -m mic_tpu.cli.evaluate --model_dir runs/cc12m/model \
+        --tsv_path data/val.tsv --images_dir images/ \
+        --tokenizer path/to/tokenizer --batch_size 64 --num_beams 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mic_tpu.data.dataset import CaptionDataset
+from mic_tpu.data.loader import CaptionLoader
+from mic_tpu.data.tokenizer import load_tokenizer
+from mic_tpu.evals.bleu import bleu_1_to_4
+from mic_tpu.models.captioner import Captioner
+from mic_tpu.ops.image_prep import maybe_preprocess
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model_dir", required=True)
+    parser.add_argument("--tsv_path", required=True)
+    parser.add_argument("--images_dir", default="")
+    parser.add_argument("--tokenizer", default=None)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--num_beams", type=int, default=4)
+    parser.add_argument("--max_length", type=int, default=64)
+    parser.add_argument("--decode_size", type=int, default=256)
+    parser.add_argument("--output_json", default=None)
+    args = parser.parse_args(argv)
+
+    model, params = Captioner.from_pretrained(args.model_dir)
+    tokenizer = load_tokenizer(args.tokenizer)
+    dataset = CaptionDataset(args.tsv_path, args.images_dir)
+
+    @jax.jit
+    def generate(params, pixels_u8, start_token):
+        pixels = maybe_preprocess(
+            pixels_u8, model.config.vision.image_size, model.dtype
+        )
+        return model.generate(
+            params, pixels, max_length=args.max_length,
+            num_beams=args.num_beams, decoder_start_token_id=start_token,
+        ).sequences
+
+    results = {}
+    for lang, sub in dataset.split_by_language().items():
+        loader = CaptionLoader(
+            sub, tokenizer, args.batch_size, image_size=args.decode_size,
+            max_length=args.max_length, shuffle=False, drop_last=False,
+        )
+        preds, refs = [], []
+        start = tokenizer.lang_code_to_id[lang]
+        for batch in loader.epoch_iterator(epoch=0):
+            seqs = generate(
+                params, jnp.asarray(batch["pixel_values"]),
+                jnp.asarray(start, jnp.int32),
+            )
+            preds.extend(tokenizer.batch_decode(np.asarray(seqs)))
+            refs.extend(tokenizer.batch_decode(batch["labels"]))
+        results[lang] = bleu_1_to_4(preds, refs, lang[:2])
+        print(lang, results[lang])
+
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Train state: one pytree carrying everything a step mutates.
+
+Unlike the reference's flax TrainState + separate msgpack'd opt_state
+(main.py:247-251, 299-357), this is a plain NamedTuple — jit/donate/shard/
+checkpoint all see one pytree, and full resume is restoring one object.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray        # int32 scalar
+    dropout_rng: jax.Array
+
+    @classmethod
+    def create(cls, params: Any, optimizer: optax.GradientTransformation, seed: int = 0):
+        return cls(
+            params=params,
+            opt_state=optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+            dropout_rng=jax.random.PRNGKey(seed),
+        )
+
+
+def make_optimizer(
+    learning_rate_fn,
+    *,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    max_grad_norm: float | None = None,
+) -> optax.GradientTransformation:
+    """AdamW with no decay on LayerNorm/bias params (standard practice; the
+    reference decayed everything uniformly via optax.adamw, main.py:629-635)."""
+
+    def decay_mask(params):
+        def is_decayed(path, leaf):
+            del leaf
+            names = {getattr(k, "key", getattr(k, "name", "")) for k in path}
+            return not ({"bias", "scale", "final_logits_bias"} & names)
+
+        return jax.tree_util.tree_map_with_path(is_decayed, params)
+
+    tx = optax.adamw(
+        learning_rate=learning_rate_fn, b1=b1, b2=b2, eps=eps,
+        weight_decay=weight_decay, mask=decay_mask if weight_decay > 0 else None,
+    )
+    if max_grad_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    return tx

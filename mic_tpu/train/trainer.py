@@ -1,0 +1,290 @@
+"""The training driver: sharded state init, jitted steps, epoch loop, periodic
+eval (loss + per-language BLEU via on-device beam search), full-state
+checkpointing with rotation and mid-epoch resume.
+
+Capability surface = reference main.py:372-885, rebuilt:
+- pmap+replicate        -> 2-D ("data","model") mesh; state initialized
+                           *directly sharded* with jit out_shardings (params
+                           never materialize unsharded on one device)
+- host f32 image batches-> uint8 host batches, device-side preprocess fused
+                           into the train step
+- params-only restore   -> full resume: params/opt/step/rng + data position
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mic_tpu.core.config import CaptionerConfig, DataConfig, TrainConfig
+from mic_tpu.data.dataset import CaptionDataset
+from mic_tpu.data.loader import CaptionLoader
+from mic_tpu.data.tokenizer import TokenizerBase, load_tokenizer
+from mic_tpu.evals.bleu import bleu_1_to_4
+from mic_tpu.io.checkpoint import TrainCheckpointManager, host_pytree
+from mic_tpu.models.captioner import Captioner
+from mic_tpu.ops.image_prep import maybe_preprocess
+from mic_tpu.parallel.mesh import make_mesh
+from mic_tpu.parallel.sharding import batch_sharding, param_specs
+from mic_tpu.train.loss import label_smoothed_cross_entropy
+from mic_tpu.train.metrics import MetricLogger, StepTimer
+from mic_tpu.train.schedule import linear_warmup_linear_decay
+from mic_tpu.train.state import TrainState, make_optimizer
+from mic_tpu.train.steps import count_params
+
+
+def state_shardings(state_shape, mesh):
+    """Apply the param sharding rules across the WHOLE train state: adam
+    moments mirror the param tree paths, so the same trailing-path rules shard
+    them identically; scalars/rng fall through to replicated."""
+    from jax.sharding import NamedSharding
+
+    specs = param_specs(state_shape, mesh.shape["model"])
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_config: CaptionerConfig,
+        data_config: DataConfig,
+        train_config: TrainConfig,
+        tokenizer: Optional[TokenizerBase] = None,
+        tokenizer_path: Optional[str] = None,
+    ):
+        self.mc, self.dc, self.tc = model_config, data_config, train_config
+        self.model = Captioner(model_config, remat=(train_config.remat == "full"))
+        self.tokenizer = tokenizer or load_tokenizer(tokenizer_path)
+        self.mesh = make_mesh(dp=train_config.dp, tp=train_config.tp)
+        self.logger = MetricLogger(train_config.output_dir)
+        self.ckpt = TrainCheckpointManager(
+            train_config.output_dir, max_to_keep=train_config.save_total_limit
+        )
+
+        self.global_batch = train_config.per_device_batch_size * self.mesh.size
+        self.eval_batch = (
+            train_config.eval_batch_size or train_config.per_device_batch_size
+        ) * self.mesh.size
+
+    # -- data -----------------------------------------------------------------
+
+    def make_loaders(self):
+        lang_codes = self.dc.lang_codes
+        train_ds = CaptionDataset(
+            self.dc.train_file, self.dc.images_dir, lang_codes
+        )
+        train_loader = CaptionLoader(
+            train_ds, self.tokenizer, self.global_batch,
+            image_size=self.dc.decode_size, max_length=self.dc.max_seq_length,
+            shuffle=True, drop_last=True, seed=self.dc.shuffle_seed,
+            num_workers=self.dc.num_workers, lang_codes=lang_codes,
+        )
+        eval_loaders = {}
+        if self.dc.validation_file:
+            val_ds = CaptionDataset(
+                self.dc.validation_file, self.dc.images_dir, lang_codes
+            )
+            for lang, sub in val_ds.split_by_language().items():
+                eval_loaders[lang] = CaptionLoader(
+                    sub, self.tokenizer, self.eval_batch,
+                    image_size=self.dc.decode_size,
+                    max_length=self.dc.max_seq_length,
+                    shuffle=False, drop_last=False, seed=0,
+                    num_workers=0, lang_codes=lang_codes,
+                )
+        return train_loader, eval_loaders
+
+    # -- jitted steps ----------------------------------------------------------
+
+    def build(self, steps_per_epoch: int):
+        tc = self.tc
+        total_steps = steps_per_epoch * tc.num_epochs
+        self.lr_fn = linear_warmup_linear_decay(
+            tc.learning_rate, total_steps, tc.warmup_steps
+        )
+        self.optimizer = make_optimizer(
+            self.lr_fn, weight_decay=tc.weight_decay, b1=tc.adam_b1,
+            b2=tc.adam_b2, eps=tc.adam_eps, max_grad_norm=tc.max_grad_norm,
+        )
+
+        model, image_size = self.model, self.mc.vision.image_size
+        dtype = self.mc.compute_dtype
+
+        def init_state():
+            params = model.init_params(jax.random.PRNGKey(tc.seed))
+            return TrainState.create(params, self.optimizer, tc.seed)
+
+        state_shape = jax.eval_shape(init_state)
+        self.shardings = state_shardings(state_shape, self.mesh)
+        self.batch_shard = batch_sharding(self.mesh)
+        self._init_state = jax.jit(init_state, out_shardings=self.shardings)
+        self._state_shape = state_shape
+
+        label_smoothing = tc.label_smoothing
+
+        def train_step(state: TrainState, batch):
+            pixels = maybe_preprocess(batch["pixel_values"], image_size, dtype)
+            step_rng = jax.random.fold_in(state.dropout_rng, state.step)
+
+            def loss_fn(params):
+                logits = model(
+                    params, pixels, batch["decoder_input_ids"],
+                    batch["decoder_attention_mask"], rng=step_rng,
+                )
+                return label_smoothed_cross_entropy(
+                    logits, batch["labels"], batch["decoder_attention_mask"],
+                    label_smoothing,
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = jax.tree.map(
+                lambda p, u: (p + u.astype(p.dtype)), state.params, updates
+            )
+            new_state = TrainState(params, opt_state, state.step + 1, state.dropout_rng)
+            return new_state, {"loss": loss, "learning_rate": self.lr_fn(state.step)}
+
+        self.p_train_step = jax.jit(
+            train_step,
+            in_shardings=(self.shardings, self.batch_shard),
+            out_shardings=(self.shardings, None),
+            donate_argnums=(0,),
+        )
+
+        def eval_step(params, batch):
+            pixels = maybe_preprocess(batch["pixel_values"], image_size, dtype)
+            logits = model(
+                params, pixels, batch["decoder_input_ids"],
+                batch["decoder_attention_mask"],
+            )
+            loss = label_smoothed_cross_entropy(
+                logits, batch["labels"], batch["decoder_attention_mask"],
+                label_smoothing,
+            )
+            ntok = jnp.sum(batch["decoder_attention_mask"])
+            return {"loss": loss, "ntok": ntok}
+
+        self.p_eval_step = jax.jit(
+            eval_step, in_shardings=(self.shardings.params, self.batch_shard)
+        )
+
+        @partial(
+            jax.jit,
+            in_shardings=(self.shardings.params, self.batch_shard, None),
+            static_argnums=(),
+        )
+        def generate_step(params, pixels_u8, start_token):
+            pixels = maybe_preprocess(pixels_u8, image_size, dtype)
+            out = model.generate(
+                params, pixels,
+                max_length=self.dc.max_seq_length,
+                num_beams=4,
+                decoder_start_token_id=start_token,
+            )
+            return out.sequences
+
+        self.p_generate_step = generate_step
+
+    # -- state / resume --------------------------------------------------------
+
+    def init_or_resume(self, train_loader: CaptionLoader):
+        if self.tc.resume_from is not None or self.ckpt.latest_step() is not None:
+            template = jax.tree.map(
+                lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+                self._state_shape, self.shardings,
+            )
+            state, meta = self.ckpt.restore(template)
+            if state is not None:
+                if meta:
+                    train_loader.set_state(meta)
+                return state
+        return self._init_state()
+
+    # -- eval -------------------------------------------------------------------
+
+    def evaluate(self, params, eval_loaders) -> dict:
+        metrics = {}
+        for lang, loader in eval_loaders.items():
+            losses, ntoks, preds, refs = [], [], [], []
+            loader.next_batch = 0
+            for batch in loader.epoch_iterator(epoch=0):
+                if batch["pixel_values"].shape[0] % self.mesh.shape["data"] != 0:
+                    continue  # ragged tail: skip (eval sets are large)
+                dev_batch = self._put_batch(batch)
+                m = self.p_eval_step(params, dev_batch)
+                losses.append(float(m["loss"]))
+                ntoks.append(float(m["ntok"]))
+                if self.tc.gen_eval:
+                    start = self.tokenizer.lang_code_to_id[lang]
+                    seqs = self.p_generate_step(
+                        params, dev_batch["pixel_values"],
+                        jnp.asarray(start, jnp.int32),
+                    )
+                    preds.extend(self.tokenizer.batch_decode(np.asarray(seqs)))
+                    refs.extend(self.tokenizer.batch_decode(batch["labels"]))
+            if losses:
+                metrics[f"{lang}/loss"] = float(
+                    np.average(losses, weights=ntoks)
+                )
+            if preds:
+                for k, v in bleu_1_to_4(preds, refs, lang[:2]).items():
+                    metrics[f"{lang}/{k}"] = v
+        return metrics
+
+    def _put_batch(self, batch: dict):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, self.batch_shard), dict(batch)
+        )
+
+    # -- main loop ---------------------------------------------------------------
+
+    def train(self) -> TrainState:
+        train_loader, eval_loaders = self.make_loaders()
+        steps_per_epoch = len(train_loader)
+        self.build(steps_per_epoch)
+        state = self.init_or_resume(train_loader)
+
+        self.logger.log(0, {"param_count_m": count_params(state.params) / 1e6})
+        timer = StepTimer()
+        step = int(jax.device_get(state.step))
+
+        while train_loader.epoch < self.tc.num_epochs:
+            for batch in train_loader.epoch_iterator():
+                dev_batch = self._put_batch(batch)
+                state, metrics = self.p_train_step(state, dev_batch)
+                step += 1
+                timer.tick()
+
+                if step % self.tc.logging_steps == 0:
+                    scalars = {k: float(v) for k, v in host_pytree(metrics).items()}
+                    scalars.update(timer.rates(self.global_batch))
+                    self.logger.log(step, scalars, prefix="train")
+                    timer.reset()
+
+                if eval_loaders and step % self.tc.eval_steps == 0:
+                    self.logger.log(step, self.evaluate(state.params, eval_loaders),
+                                    prefix="eval")
+
+                if step % self.tc.save_steps == 0:
+                    self._save(step, state, train_loader)
+
+        self._save(step, state, train_loader)
+        self.ckpt.wait()
+        if eval_loaders:
+            self.logger.log(step, self.evaluate(state.params, eval_loaders),
+                            prefix="eval")
+        # export a servable model directory alongside the train checkpoints
+        self.model.save_pretrained(
+            os.path.join(self.tc.output_dir, "model"), state.params
+        )
+        return state
+
+    def _save(self, step: int, state: TrainState, loader: CaptionLoader) -> None:
+        self.ckpt.save(step, state, data_meta=loader.state())

@@ -20,6 +20,12 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# This image pre-imports jax via PYTHONPATH sitecustomize (JAX_PLATFORMS=axon),
+# so the env var above can be too late; the config update always works because
+# backends initialize lazily.
+jax.config.update("jax_platforms", "cpu")
+assert jax.device_count() == 8, "expected 8 virtual CPU devices for tests"
+
 # JAX's backend-default matmul precision is reduced (bf16-class) — fine for
 # training throughput, wrong for golden-parity assertions against torch/numpy.
 jax.config.update("jax_default_matmul_precision", "highest")

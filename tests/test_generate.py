@@ -1,0 +1,160 @@
+"""Generation tests: brute-force beam-search oracle, forced tokens, sampling.
+
+The beam-search oracle enumerates EVERY possible output sequence on a tiny
+vocab, scores it exactly the way the search defines a hypothesis score
+(sum of log-probs; length penalty at EOS), and checks the beam returns the
+global optimum when the beam is wide enough to be exhaustive.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mic_tpu.core.config import CaptionerConfig, DecoderConfig, VisionConfig
+from mic_tpu.models.captioner import Captioner
+
+VOCAB = 8
+MAXLEN = 4  # start token + 3 generated positions
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = CaptionerConfig(
+        vision=VisionConfig.tiny(),
+        decoder=DecoderConfig.tiny(vocab_size=VOCAB, max_position_embeddings=16),
+        tie_word_embeddings=True,
+    )
+    model = Captioner(config)
+    params = model.init_params(jax.random.PRNGKey(7))
+    px = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    return model, params, jnp.asarray(px)
+
+
+def all_log_probs(model, params, enc, prefix_ids):
+    """Teacher-forced next-token log-probs at every position of prefix_ids."""
+    B, T = prefix_ids.shape
+    logits = model.decode_train(
+        params, enc, jnp.asarray(prefix_ids), jnp.ones((B, T), jnp.int32)
+    )
+    return np.asarray(jax.nn.log_softmax(logits, axis=-1))
+
+
+def brute_force_best(model, params, enc_row, start, eos, length_penalty):
+    """Exhaustively score all token sequences for ONE image (one batched call)."""
+    all_toks = np.asarray(
+        list(itertools.product(range(VOCAB), repeat=MAXLEN - 1)), np.int32
+    )  # (V^(L-1), L-1)
+    n = all_toks.shape[0]
+    seqs = np.concatenate([np.full((n, 1), start, np.int32), all_toks], axis=1)
+    enc = jnp.broadcast_to(enc_row[None], (n,) + enc_row.shape)
+    lp = all_log_probs(model, params, enc, seqs)  # (n, MAXLEN, V)
+
+    best_score, best_seq = -1e30, None
+    for i in range(n):
+        toks = all_toks[i]
+        score = 0.0
+        for pos, tok in enumerate(toks):
+            score += lp[i, pos, tok]
+            if tok == eos:
+                break
+        finished_len = next(
+            (j + 2 for j, t in enumerate(toks) if t == eos), MAXLEN
+        )  # tokens consumed incl. start
+        canon = tuple(int(t) for t in seqs[i, :finished_len])
+        penalized = score / (finished_len ** length_penalty)
+        if penalized > best_score + 1e-9:
+            best_score, best_seq = penalized, canon
+    return best_score, best_seq
+
+
+@pytest.mark.parametrize("length_penalty", [1.0, 0.6])
+def test_beam_matches_brute_force(setup, length_penalty):
+    model, params, px = setup
+    eos = model.config.decoder.eos_token_id
+    start = model.config.decoder.decoder_start_token_id
+    enc = model.encode(params, px)
+
+    out = model.generate(
+        params, px, max_length=MAXLEN, num_beams=VOCAB ** 2,
+        length_penalty=length_penalty, forced_eos_token_id=None,
+    )
+    for b in range(px.shape[0]):
+        score, seq = brute_force_best(
+            model, params, np.asarray(enc)[b], start, eos, length_penalty
+        )
+        got = tuple(int(t) for t in np.asarray(out.sequences)[b])
+        # canonicalize: cut at EOS, strip trailing pads
+        if eos in got[1:]:
+            got = got[: got[1:].index(eos) + 2]
+        np.testing.assert_allclose(float(out.scores[b]), score, rtol=1e-4)
+        assert got == seq, (got, seq)
+
+
+def test_forced_bos_and_eos(setup):
+    model, params, px = setup
+    out = model.generate(
+        params, px, max_length=MAXLEN, num_beams=3, forced_bos_token_id=5,
+        forced_eos_token_id=model.config.decoder.eos_token_id,
+    )
+    seqs = np.asarray(out.sequences)
+    assert np.all(seqs[:, 1] == 5)
+    # every row must terminate with EOS at the last position unless earlier EOS
+    eos = model.config.decoder.eos_token_id
+    for row in seqs:
+        assert eos in row[1:]
+
+
+def test_greedy_score_is_sequence_log_prob(setup):
+    model, params, px = setup
+    out = model.generate(
+        params, px, max_length=MAXLEN, num_beams=1, forced_eos_token_id=None
+    )
+    enc = model.encode(params, px)
+    lp = all_log_probs(model, params, enc, np.asarray(out.sequences))
+    eos = model.config.decoder.eos_token_id
+    for b in range(px.shape[0]):
+        seq = np.asarray(out.sequences)[b]
+        score = 0.0
+        for pos in range(MAXLEN - 1):
+            tok = seq[pos + 1]
+            score += lp[b, pos, tok]
+            if tok == eos:
+                break
+        np.testing.assert_allclose(float(out.scores[b]), score, rtol=1e-4)
+
+
+def test_min_length_blocks_eos(setup):
+    model, params, px = setup
+    eos = model.config.decoder.eos_token_id
+    out = model.generate(
+        params, px, max_length=6, num_beams=1, min_length=5,
+        forced_eos_token_id=None,
+    )
+    seqs = np.asarray(out.sequences)
+    assert not np.any(seqs[:, 1:4] == eos)
+
+
+def test_sampling_topk1_equals_greedy(setup):
+    model, params, px = setup
+    greedy = model.generate(params, px, max_length=MAXLEN, num_beams=1)
+    sampled = model.generate(
+        params, px, max_length=MAXLEN, num_beams=1, do_sample=True, top_k=1,
+        rng=jax.random.PRNGKey(3),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(greedy.sequences), np.asarray(sampled.sequences)
+    )
+
+
+def test_jit_generate_consistent(setup):
+    model, params, px = setup
+    eager = model.generate(params, px, max_length=MAXLEN, num_beams=4)
+    jitted = jax.jit(
+        lambda p, x: model.generate(p, x, max_length=MAXLEN, num_beams=4)
+    )(params, px)
+    np.testing.assert_array_equal(
+        np.asarray(eager.sequences), np.asarray(jitted.sequences)
+    )
