@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 
 NEG_INF = jnp.float32(-1e7)
@@ -24,9 +25,12 @@ def forced_token(position: int, token_id: int) -> Processor:
     decoder start token)."""
 
     def fn(log_probs, cur_len):
-        vocab = log_probs.shape[-1]
-        forced = jnp.full_like(log_probs, NEG_INF).at[..., token_id].set(0.0)
-        return jnp.where(cur_len == position, forced, log_probs)
+        # lax.cond, not jnp.where: the forced distribution is only
+        # materialized on the one step it applies (V can be 250k wide).
+        def force(lp):
+            return jnp.full_like(lp, NEG_INF).at[..., token_id].set(0.0)
+
+        return jax.lax.cond(cur_len == position, force, lambda lp: lp, log_probs)
 
     return fn
 
@@ -39,8 +43,12 @@ def min_length(min_len: int, eos_token_id: int) -> Processor:
     """Disallow EOS while the sequence is shorter than `min_len`."""
 
     def fn(log_probs, cur_len):
-        blocked = log_probs.at[..., eos_token_id].set(NEG_INF)
-        return jnp.where(cur_len < min_len, blocked, log_probs)
+        return jax.lax.cond(
+            cur_len < min_len,
+            lambda lp: lp.at[..., eos_token_id].set(NEG_INF),
+            lambda lp: lp,
+            log_probs,
+        )
 
     return fn
 

@@ -2,14 +2,35 @@
 
 Everything runs as a single `lax.while_loop` over a typed NamedTuple state —
 zero host round-trips per token (the property the reference gets from
-generation_clip_vision_utils.py:665-990, rebuilt from scratch here).
+generation_clip_vision_utils.py:665-990, rebuilt from scratch here, then
+re-architected for TPU memory bandwidth).
 
-The search is model-agnostic: it drives a ``step_fn(token_ids, cache) ->
-(logits, cache)`` closure, where ``token_ids`` is (B, 1) and ``logits`` is
-(B, vocab).  The model supplies the closure and the initial DecoderCache
-(mic_tpu/models/captioner.py).  Beam search keeps 2·K candidates per step,
-applies a length penalty, supports early stopping, and reorders the stacked
-KV cache with one gather (DecoderCache.reorder).
+The search drives a ``step_fn(token_ids, cache) -> (logits, cache)`` closure
+(``token_ids`` (B,1), ``logits`` (B, vocab)); the model supplies the closure
+and the initial DecoderCache (mic_tpu/models/captioner.py).
+
+TPU-first design — the candidate-space pipeline
+-----------------------------------------------
+A naive beam step materializes log_softmax of (B·K, V) in f32, adds running
+scores into a (B, K, V) tensor and reshapes it to (B, K·V) for one giant
+top-k.  At V=250k that is ~0.5 GB of layout copies and broadcast writes per
+token (profiled: ~60% of step time).  Instead:
+
+- per-beam `top_k` runs directly on the raw (B·K, V) logits in their natural
+  layout (row order == log-prob order, since log_softmax is monotone);
+- true log-probs are recovered AFTER selection by subtracting a (B·K,) row
+  logsumexp from just the 2K+1 surviving candidates;
+- forced-BOS/EOS steps take a `lax.cond` branch that skips the top-k entirely,
+  and min-length EOS-blocking filters candidates, not the vocab row
+  (2K+1 per-beam candidates guarantee 2K survive the EOS filter);
+- the KV cache is beam-reordered by a Pallas strided-DMA kernel
+  (mic_tpu/ops/beam_permute.py), and cross-attention caches are never moved
+  (beam-invariant).
+
+Processor semantics (forced_bos/forced_eos/min_length) follow the reference's
+HF processor stack (generation_clip_vision_utils.py:338-420) exactly; the
+brute-force oracle test (tests/test_generate.py) pins the search to the
+mathematical definition.
 """
 
 from __future__ import annotations
@@ -19,10 +40,26 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from mic_tpu.generate.processors import NEG_INF, Processor, build_warpers
 from mic_tpu.nn.cache import DecoderCache
-from mic_tpu.generate.processors import NEG_INF, Processor
+from mic_tpu.ops.beam_permute import beam_permute
 
 StepFn = Callable[[jnp.ndarray, DecoderCache], tuple[jnp.ndarray, DecoderCache]]
+
+
+class ProcessorSpec(NamedTuple):
+    """Static description of the supported logits constraints."""
+
+    forced: tuple[tuple[int, int], ...] = ()  # (position, token_id)
+    min_length: int = 0
+    eos_token_id: int = 2
+
+    def forced_token_at(self, cur_len: jnp.ndarray) -> jnp.ndarray:
+        """-1 when no token is forced at this position."""
+        tok = jnp.full((), -1, jnp.int32)
+        for pos, tid in self.forced:
+            tok = jnp.where(cur_len == pos, tid, tok)
+        return tok
 
 
 class GenerateOutput(NamedTuple):
@@ -30,9 +67,47 @@ class GenerateOutput(NamedTuple):
     scores: jnp.ndarray     # (B,) float32 — sequence log-prob (beam: penalized)
 
 
-def _identity(log_probs, cur_len):
-    del cur_len
-    return log_probs
+def _logsumexp(logits32: jnp.ndarray) -> jnp.ndarray:
+    m = jnp.max(logits32, axis=-1)
+    return m + jnp.log(jnp.sum(jnp.exp(logits32 - m[..., None]), axis=-1))
+
+
+def _candidates(
+    logits: jnp.ndarray,          # (N, V) raw logits, any float dtype
+    k: int,
+    cur_len: jnp.ndarray,
+    spec: ProcessorSpec,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k candidate (log_probs (N,k), token_ids (N,k)) per row, honoring
+    forced tokens (cond branch, no top-k) and min-length EOS blocking."""
+    logits32 = logits.astype(jnp.float32)
+    lse = _logsumexp(logits32)
+    n = logits.shape[0]
+    forced_tok = spec.forced_token_at(cur_len)
+
+    def normal(_):
+        vals, ids = jax.lax.top_k(logits32, k)
+        return vals, ids
+
+    def forced(tok):
+        ids = jnp.full((n, k), tok, jnp.int32)
+        val = jnp.take_along_axis(logits32, ids[:, :1], axis=-1)
+        vals = jnp.concatenate(
+            [val, jnp.full((n, k - 1), NEG_INF, jnp.float32)], axis=-1
+        )
+        return vals, ids
+
+    if spec.forced:
+        cand_logits, cand_ids = jax.lax.cond(
+            forced_tok >= 0, forced, normal, forced_tok
+        )
+    else:
+        cand_logits, cand_ids = normal(None)
+    cand_lp = cand_logits - lse[:, None]
+    if spec.min_length > 0:
+        blocked = (cur_len < spec.min_length) & (cand_ids == spec.eos_token_id)
+        cand_lp = jnp.where(blocked, NEG_INF, cand_lp)
+    return cand_lp, cand_ids.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -54,10 +129,10 @@ def _sequential_search(
     batch: int,
     *,
     max_length: int,
-    start_token_id: int,
+    start_token_id,
     eos_token_id: int,
     pad_token_id: int,
-    processors: Processor,
+    spec: ProcessorSpec,
     do_sample: bool,
     warpers: Processor,
     rng: Optional[jax.Array],
@@ -73,7 +148,7 @@ def _sequential_search(
         scores=jnp.zeros((batch,), jnp.float32),
         is_finished=jnp.zeros((batch,), jnp.bool_),
         cache=cache,
-    rng=rng,
+        rng=rng,
     )
 
     def cond(s: _SeqState):
@@ -82,16 +157,22 @@ def _sequential_search(
     def body(s: _SeqState):
         prev = jax.lax.dynamic_slice_in_dim(s.sequences, s.cur_len - 1, 1, axis=1)
         logits, cache = step_fn(prev, s.cache)
-        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        log_probs = processors(log_probs, s.cur_len)
         if do_sample:
-            warped = warpers(log_probs, s.cur_len)
+            log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            lp = _apply_spec_dense(log_probs, s.cur_len, spec)
+            warped = warpers(lp, s.cur_len)
             rng, key = jax.random.split(s.rng)
-            token = jax.random.categorical(key, warped, axis=-1)
+            token = jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
+            token_score = jnp.take_along_axis(lp, token[:, None], axis=-1)[:, 0]
         else:
             rng = s.rng
-            token = jnp.argmax(log_probs, axis=-1)
-        token_score = jnp.take_along_axis(log_probs, token[:, None], axis=-1)[:, 0]
+            # top-2 candidates: enough to skip EOS under min_length
+            cand_lp, cand_ids = _candidates(logits, 2, s.cur_len, spec)
+            token = cand_ids[:, 0]
+            token_score = cand_lp[:, 0]
+            pick_second = cand_lp[:, 0] <= NEG_INF / 2
+            token = jnp.where(pick_second, cand_ids[:, 1], token)
+            token_score = jnp.where(pick_second, cand_lp[:, 1], token_score)
         token = jnp.where(s.is_finished, pad_token_id, token).astype(jnp.int32)
         scores = s.scores + jnp.where(s.is_finished, 0.0, token_score)
         sequences = jax.lax.dynamic_update_slice(
@@ -104,6 +185,30 @@ def _sequential_search(
     state = body(init)
     state = jax.lax.while_loop(cond, body, state)
     return GenerateOutput(sequences=state.sequences, scores=state.scores)
+
+
+def _apply_spec_dense(log_probs, cur_len, spec: ProcessorSpec):
+    """Dense-vocab application of the spec (sampling path only)."""
+    forced_tok = spec.forced_token_at(cur_len)
+    if spec.forced:
+        def force(lp):
+            out = jnp.full_like(lp, NEG_INF)
+            return jnp.where(
+                jax.nn.one_hot(forced_tok, lp.shape[-1], dtype=jnp.bool_),
+                0.0, out,
+            )
+
+        log_probs = jax.lax.cond(
+            forced_tok >= 0, force, lambda lp: lp, log_probs
+        )
+    if spec.min_length > 0:
+        log_probs = jax.lax.cond(
+            cur_len < spec.min_length,
+            lambda lp: lp.at[..., spec.eos_token_id].set(NEG_INF),
+            lambda lp: lp,
+            log_probs,
+        )
+    return log_probs
 
 
 # ---------------------------------------------------------------------------
@@ -134,28 +239,29 @@ def _beam_search(
     num_beams: int,
     *,
     max_length: int,
-    start_token_id: int,
+    start_token_id,
     eos_token_id: int,
     pad_token_id: int,
-    processors: Processor,
+    spec: ProcessorSpec,
     length_penalty: float,
     early_stopping: bool,
 ) -> GenerateOutput:
     K = num_beams
-    running_sequences = jnp.full((batch, K, max_length), pad_token_id, jnp.int32)
+    B = batch
+    running_sequences = jnp.full((B, K, max_length), pad_token_id, jnp.int32)
     running_sequences = running_sequences.at[:, :, 0].set(start_token_id)
     # only beam 0 is live at the start; clones would waste the candidate pool
     running_scores = jnp.tile(
-        jnp.array([0.0] + [NEG_INF] * (K - 1), jnp.float32), (batch, 1)
+        jnp.array([0.0] + [NEG_INF] * (K - 1), jnp.float32), (B, 1)
     )
 
     init = _BeamState(
         cur_len=jnp.asarray(1, jnp.int32),
         running_sequences=running_sequences,
         running_scores=running_scores,
-        sequences=jnp.full((batch, K, max_length), pad_token_id, jnp.int32),
-        scores=jnp.full((batch, K), NEG_INF, jnp.float32),
-        is_finished=jnp.zeros((batch, K), jnp.bool_),
+        sequences=jnp.full((B, K, max_length), pad_token_id, jnp.int32),
+        scores=jnp.full((B, K), NEG_INF, jnp.float32),
+        is_finished=jnp.zeros((B, K), jnp.bool_),
         cache=cache,
     )
 
@@ -175,26 +281,29 @@ def _beam_search(
         return not_max_len & improvement_possible & still_open
 
     def body(s: _BeamState):
-        B = batch
         prev = jax.lax.dynamic_slice_in_dim(
             s.running_sequences, s.cur_len - 1, 1, axis=2
         ).reshape(B * K, 1)
         logits, cache = step_fn(prev, s.cache)
         vocab = logits.shape[-1]
-        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        log_probs = log_probs.reshape(B, K, vocab)
-        log_probs = processors(log_probs, s.cur_len)
-        log_probs = log_probs + s.running_scores[:, :, None]
 
-        # 2K candidates so that even if K beams finish, K running ones remain
+        # per-beam candidates in the natural (B*K, V) layout; 2K+1 so that
+        # min-length EOS filtering still leaves 2K viable candidates
+        kc = min(2 * K + 1, vocab)
+        cand_lp, cand_ids = _candidates(logits, kc, s.cur_len, spec)
+        cand_total = cand_lp + s.running_scores.reshape(B * K, 1)
+
+        # global 2K candidates per batch group from the tiny K*kc pool
         topk_scores, topk_flat = jax.lax.top_k(
-            log_probs.reshape(B, K * vocab), k=2 * K
+            cand_total.reshape(B, K * kc), k=2 * K
         )
-        topk_beam = topk_flat // vocab            # (B, 2K) source beam
-        topk_token = topk_flat % vocab            # (B, 2K)
+        topk_beam = topk_flat // kc                               # (B, 2K)
+        topk_token = jnp.take_along_axis(
+            cand_ids.reshape(B, K * kc), topk_flat, axis=1
+        )
         topk_sequences = _gather_beams(s.running_sequences, topk_beam)
         topk_sequences = jax.lax.dynamic_update_slice(
-            topk_sequences, topk_token[:, :, None].astype(jnp.int32), (0, 0, s.cur_len)
+            topk_sequences, topk_token[:, :, None], (0, 0, s.cur_len)
         )
         just_finished = topk_token == eos_token_id
 
@@ -219,9 +328,12 @@ def _beam_search(
         next_is_finished = jnp.take_along_axis(merged_finished, keep, axis=1)
 
         # reorder the flat (B*K) cache to follow the chosen running beams
+        # (Pallas strided-DMA permute; cross-attn caches are beam-invariant)
         src_beam = _gather_beams(topk_beam[:, :, None], running_pick)[:, :, 0]
-        flat_idx = (jnp.arange(B)[:, None] * K + src_beam).reshape(B * K)
-        cache = cache.reorder(flat_idx)
+        cache = cache._replace(
+            self_k=beam_permute(cache.self_k, src_beam, K),
+            self_v=beam_permute(cache.self_v, src_beam, K),
+        )
 
         return _BeamState(
             cur_len=s.cur_len + 1,
@@ -261,13 +373,13 @@ def generate(
     batch: int,
     *,
     max_length: int,
-    start_token_id: int,
+    start_token_id,
     eos_token_id: int,
     pad_token_id: int,
     num_beams: int = 1,
     do_sample: bool = False,
-    processors: Processor = _identity,
-    warpers: Processor = _identity,
+    spec: Optional[ProcessorSpec] = None,
+    warpers: Optional[Processor] = None,
     length_penalty: float = 1.0,
     early_stopping: bool = False,
     rng: Optional[jax.Array] = None,
@@ -275,6 +387,8 @@ def generate(
     """Dispatch greedy / sample / beam search (reference surface:
     generation_clip_vision_utils.py:128-336). `cache.batch` must equal `batch`
     for greedy/sample and `batch * num_beams` for beam search."""
+    spec = spec or ProcessorSpec(eos_token_id=eos_token_id)
+    warpers = warpers or build_warpers()
     if num_beams > 1:
         if do_sample:
             raise NotImplementedError("beam sampling is not supported")
@@ -282,12 +396,12 @@ def generate(
             step_fn, cache, batch, num_beams,
             max_length=max_length, start_token_id=start_token_id,
             eos_token_id=eos_token_id, pad_token_id=pad_token_id,
-            processors=processors, length_penalty=length_penalty,
+            spec=spec, length_penalty=length_penalty,
             early_stopping=early_stopping,
         )
     return _sequential_search(
         step_fn, cache, batch,
         max_length=max_length, start_token_id=start_token_id,
         eos_token_id=eos_token_id, pad_token_id=pad_token_id,
-        processors=processors, do_sample=do_sample, warpers=warpers, rng=rng,
+        spec=spec, do_sample=do_sample, warpers=warpers, rng=rng,
     )

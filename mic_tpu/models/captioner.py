@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from mic_tpu.core.config import CaptionerConfig
 from mic_tpu.generate import search
-from mic_tpu.generate.processors import build_processors, build_warpers
+from mic_tpu.generate.processors import build_warpers
 from mic_tpu.models import clip_vit, mbart_decoder
 from mic_tpu.nn.cache import DecoderCache, init_cache
 from mic_tpu.nn.layers import Params, dense, init_dense, init_embed
@@ -157,6 +157,16 @@ class Captioner:
         )
         batch = pixel_values.shape[0]
 
+        if self.dtype != jnp.float32:
+            # cast weights to the compute dtype ONCE, outside the decode loop:
+            # halves the HBM weight traffic of every step (params live f32 for
+            # training; generation is activation/weight-read bound)
+            params = jax.tree.map(
+                lambda x: x.astype(self.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                params,
+            )
+
         enc_states = self.encode(params, pixel_values)
         if gen.num_beams > 1:
             # expand each image's encoder states K times: (B*K, S, D)
@@ -166,12 +176,15 @@ class Captioner:
         def step_fn(token_ids, cache):
             return self.decode_step(params, token_ids, cache)
 
-        processors = build_processors(
-            max_length=gen.max_length,
-            min_len=gen.min_length,
+        forced = []
+        if gen.forced_bos_token_id is not None:
+            forced.append((1, gen.forced_bos_token_id))
+        if gen.forced_eos_token_id is not None:
+            forced.append((gen.max_length - 1, gen.forced_eos_token_id))
+        spec = search.ProcessorSpec(
+            forced=tuple(forced),
+            min_length=gen.min_length,
             eos_token_id=dec.eos_token_id,
-            forced_bos_token_id=gen.forced_bos_token_id,
-            forced_eos_token_id=gen.forced_eos_token_id,
         )
         warpers = build_warpers(
             temperature=gen.temperature, top_k=gen.top_k, top_p=gen.top_p
@@ -181,7 +194,7 @@ class Captioner:
             max_length=gen.max_length, start_token_id=start,
             eos_token_id=dec.eos_token_id, pad_token_id=dec.pad_token_id,
             num_beams=gen.num_beams, do_sample=gen.do_sample,
-            processors=processors, warpers=warpers,
+            spec=spec, warpers=warpers,
             length_penalty=gen.length_penalty, early_stopping=gen.early_stopping,
             rng=rng,
         )
