@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from mic_tpu.generate.processors import NEG_INF, Processor, build_warpers
 from mic_tpu.nn.cache import DecoderCache
-from mic_tpu.ops.beam_permute import beam_permute
+from mic_tpu.ops.beam_permute import beam_permute_matmul
 
 StepFn = Callable[[jnp.ndarray, DecoderCache], tuple[jnp.ndarray, DecoderCache]]
 
@@ -80,18 +80,19 @@ def _candidates(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k candidate (log_probs (N,k), token_ids (N,k)) per row, honoring
     forced tokens (cond branch, no top-k) and min-length EOS blocking."""
-    logits32 = logits.astype(jnp.float32)
-    lse = _logsumexp(logits32)
+    lse = _logsumexp(logits.astype(jnp.float32))
     n = logits.shape[0]
     forced_tok = spec.forced_token_at(cur_len)
 
     def normal(_):
-        vals, ids = jax.lax.top_k(logits32, k)
-        return vals, ids
+        # top_k on the raw (usually bf16) logits: monotone under the f32 cast,
+        # and avoids materializing a vocab-wide f32 copy just to rank rows
+        vals, ids = jax.lax.top_k(logits, k)
+        return vals.astype(jnp.float32), ids
 
     def forced(tok):
         ids = jnp.full((n, k), tok, jnp.int32)
-        val = jnp.take_along_axis(logits32, ids[:, :1], axis=-1)
+        val = jnp.take_along_axis(logits, ids[:, :1], axis=-1).astype(jnp.float32)
         vals = jnp.concatenate(
             [val, jnp.full((n, k - 1), NEG_INF, jnp.float32)], axis=-1
         )
@@ -328,11 +329,12 @@ def _beam_search(
         next_is_finished = jnp.take_along_axis(merged_finished, keep, axis=1)
 
         # reorder the flat (B*K) cache to follow the chosen running beams
-        # (Pallas strided-DMA permute; cross-attn caches are beam-invariant)
+        # (one-hot matmul over the batch axis; cross-attn caches are
+        # beam-invariant within a group and never move)
         src_beam = _gather_beams(topk_beam[:, :, None], running_pick)[:, :, 0]
         cache = cache._replace(
-            self_k=beam_permute(cache.self_k, src_beam, K),
-            self_v=beam_permute(cache.self_v, src_beam, K),
+            self_k=beam_permute_matmul(cache.self_k, src_beam, K),
+            self_v=beam_permute_matmul(cache.self_v, src_beam, K),
         )
 
         return _BeamState(
