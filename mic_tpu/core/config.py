@@ -79,6 +79,11 @@ class VisionConfig(_JsonMixin):
     layer_norm_eps: float = 1e-5
     hidden_act: str = "quick_gelu"
     attention_dropout: float = 0.0
+    # tower style knobs: CLIP defaults; a google/vit tower is
+    # (use_pre_ln=False, final_ln_output=True, patch_bias=True, hidden_act="gelu")
+    use_pre_ln: bool = True
+    final_ln_output: bool = False
+    patch_bias: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -126,6 +131,10 @@ class DecoderConfig(_JsonMixin):
     decoder_start_token_id: int = 2
     # mBART position embeddings are offset by 2 (positions 0,1 reserved).
     pos_offset: int = 2
+    # norm style knobs: mBART defaults (pre-norm + final LN); a BART decoder
+    # is (post_norm=True, use_final_ln=False)
+    post_norm: bool = False
+    use_final_ln: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -183,6 +192,23 @@ class CaptionerConfig(_JsonMixin):
     def clip_vit_b32_mbart50(cls, **kw) -> "CaptionerConfig":
         """The flagship config: CLIP ViT-B/32 encoder + mBART-large-50 decoder."""
         return cls(**kw)
+
+    @classmethod
+    def vit_b16_bart_large(cls, **kw) -> "CaptionerConfig":
+        """The reference's secondary family (models/flax_vit_bart): a google/vit
+        tower fused into a (post-norm, English) BART-large decoder."""
+        base = dict(
+            vision=VisionConfig(
+                patch_size=16, hidden_act="gelu", use_pre_ln=False,
+                final_ln_output=True, patch_bias=True, layer_norm_eps=1e-12,
+            ),
+            decoder=DecoderConfig(
+                vocab_size=50265, scale_embedding=False, post_norm=True,
+                use_final_ln=False, decoder_start_token_id=2,
+            ),
+        )
+        base.update(kw)
+        return cls(**base)
 
     @classmethod
     def tiny(cls, **kw) -> "CaptionerConfig":
@@ -286,6 +312,15 @@ class TrainConfig(_JsonMixin):
     # remat ("none" | "full") for the decoder/vision blocks
     remat: str = "none"
     gen_eval: bool = True  # run BLEU generation eval at eval_steps
+    # chunked LM-head cross-entropy (ops/fused_ce.py): ~15% slower per step
+    # than dense logits (one extra LM-head matmul in bwd) but caps logits
+    # residency at O(ce_chunk * vocab) — the lever for big per-device batches
+    fused_ce: bool = False
+    ce_chunk: int = 256
+    # adam first-moment dtype; "bfloat16" halves a big slice of optimizer HBM
+    adam_mu_dtype: str = "float32"
+    # "start:stop" step range traced with jax.profiler into <output_dir>/profile
+    profile_steps: str | None = None
 
 
 _NESTED = {

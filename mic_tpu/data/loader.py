@@ -85,6 +85,7 @@ class CaptionLoader:
         num_workers: int = 0,
         prefetch: int = 2,
         lang_codes: Sequence[str] = ("en_XX", "fr_XX", "es_XX", "de_DE"),
+        process_shard: tuple = (0, 1),
     ):
         self.dataset = dataset
         self.tokenizer = tokenizer
@@ -97,6 +98,10 @@ class CaptionLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.lang_codes = tuple(lang_codes)
+        # multi-host: every process builds the SAME global batch order (same
+        # seed) and takes its contiguous slice of each batch; the trainer
+        # reassembles global arrays with make_array_from_process_local_data
+        self.process_shard = tuple(process_shard)
         self.epoch = 0
         self.next_batch = 0
         self._pool = None
@@ -126,6 +131,10 @@ class CaptionLoader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        rank, count = self.process_shard
+        if count > 1:
+            per = self.batch_size // count
+            batches = [b[rank * per : (rank + 1) * per] for b in batches]
         return batches
 
     def _get_pool(self):

@@ -121,6 +121,99 @@ def from_hf_mbart_decoder_flax(decoder: Mapping) -> Params:
     }
 
 
+def from_hf_vit_flax(vit_params: Mapping) -> Params:
+    """FlaxViTModel.params -> our vision tree (style: use_pre_ln=False,
+    final_ln_output=True, patch_bias=True, hidden_act='gelu')."""
+    emb = vit_params["embeddings"]
+    patch = _np(emb["patch_embeddings"]["projection"]["kernel"])  # (P,P,C,D)
+    p, _, c, h = patch.shape
+    layers = vit_params["encoder"]["layer"]
+    per_layer = []
+    for i in range(len(layers)):
+        li = layers[str(i)]
+        att = li["attention"]["attention"]
+        per_layer.append(
+            {
+                "ln1": _ln(li["layernorm_before"]),
+                "attn": {
+                    "q": _dense(att["query"]),
+                    "k": _dense(att["key"]),
+                    "v": _dense(att["value"]),
+                    "o": _dense(li["attention"]["output"]["dense"]),
+                },
+                "ln2": _ln(li["layernorm_after"]),
+                "fc1": _dense(li["intermediate"]["dense"]),
+                "fc2": _dense(li["output"]["dense"]),
+            }
+        )
+    return {
+        "patch_embed": {
+            "kernel": jnp.asarray(patch.reshape(p * p * c, h)),
+            "bias": jnp.asarray(_np(emb["patch_embeddings"]["projection"]["bias"])),
+        },
+        "class_embed": jnp.asarray(_np(emb["cls_token"])).reshape(-1),
+        "pos_embed": {
+            "embedding": jnp.asarray(_np(emb["position_embeddings"])).reshape(
+                -1, h
+            )
+        },
+        "post_ln": _ln(vit_params["layernorm"]),
+        "layers": _stack(per_layer),
+    }
+
+
+def from_hf_bart_flax(bart_params: Mapping) -> tuple[Params, Params, jnp.ndarray]:
+    """FlaxBartForConditionalGeneration.params -> (shared, decoder, bias).
+    BART decoders are post-norm with NO final layer_norm."""
+    model = bart_params["model"] if "model" in bart_params else bart_params
+    shared = {"embedding": jnp.asarray(_np(model["shared"]["embedding"]))}
+    dec = model["decoder"]
+    decoder = {
+        "pos_embed": {"embedding": jnp.asarray(_np(dec["embed_positions"]["embedding"]))},
+        "ln_embed": _ln(dec["layernorm_embedding"]),
+        "layers": _decoder_layers_from_hf(dec["layers"]),
+    }
+    bias = bart_params.get("final_logits_bias")
+    if bias is None:
+        bias = np.zeros((shared["embedding"].shape[0],), np.float32)
+    return shared, decoder, jnp.asarray(_np(bias)).reshape(-1)
+
+
+def from_hf_mbart_encoder_flax(encoder: Mapping) -> Params:
+    """HF FlaxMBart *text* encoder tree -> our mbart_text tree."""
+    layers = encoder["layers"]
+    per_layer = []
+    for i in range(len(layers)):
+        li = layers[str(i)]
+        per_layer.append(
+            {
+                "ln_self": _ln(li["self_attn_layer_norm"]),
+                "self_attn": _mha(li["self_attn"]),
+                "ln_mlp": _ln(li["final_layer_norm"]),
+                "fc1": _dense(li["fc1"]),
+                "fc2": _dense(li["fc2"]),
+            }
+        )
+    return {
+        "pos_embed": {"embedding": jnp.asarray(_np(encoder["embed_positions"]["embedding"]))},
+        "ln_embed": _ln(encoder["layernorm_embedding"]),
+        "final_ln": _ln(encoder["layer_norm"]),
+        "layers": _stack(per_layer),
+    }
+
+
+def from_hf_mbart_seq2seq_flax(mbart_params: Mapping) -> Params:
+    """FlaxMBartForConditionalGeneration.params -> our MBartSeq2Seq tree."""
+    model = mbart_params["model"] if "model" in mbart_params else mbart_params
+    shared, decoder, bias = from_hf_mbart_flax(mbart_params)
+    return {
+        "shared": shared,
+        "encoder": from_hf_mbart_encoder_flax(model["encoder"]),
+        "decoder": decoder,
+        "final_logits_bias": bias,
+    }
+
+
 def from_hf_mbart_flax(mbart_params: Mapping) -> tuple[Params, Params, jnp.ndarray]:
     """FlaxMBartForConditionalGeneration.params ->
     (shared, decoder, final_logits_bias)."""

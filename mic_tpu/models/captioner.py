@@ -74,6 +74,23 @@ class Captioner:
         )
         return dense(params["proj"], hidden, self.dtype)
 
+    def decode_hidden(
+        self,
+        params: Params,
+        enc_states: jnp.ndarray,
+        decoder_input_ids: jnp.ndarray,
+        decoder_attention_mask: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """Teacher-forced decoder hidden states (B, T, d_model), pre-LM-head —
+        feeds ops/fused_ce.py so training never materializes full logits."""
+        return mbart_decoder.apply_decoder(
+            params["decoder"], params["shared"],
+            decoder_input_ids, decoder_attention_mask,
+            enc_states, None, self.config.decoder,
+            dtype=self.dtype, rng=rng, attn_impl=self.attn_impl, remat=self.remat,
+        )
+
     def decode_train(
         self,
         params: Params,
@@ -82,11 +99,8 @@ class Captioner:
         decoder_attention_mask: jnp.ndarray,
         rng: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
-        hidden = mbart_decoder.apply_decoder(
-            params["decoder"], params["shared"],
-            decoder_input_ids, decoder_attention_mask,
-            enc_states, None, self.config.decoder,
-            dtype=self.dtype, rng=rng, attn_impl=self.attn_impl, remat=self.remat,
+        hidden = self.decode_hidden(
+            params, enc_states, decoder_input_ids, decoder_attention_mask, rng
         )
         return self.lm_logits(params, hidden)
 

@@ -59,16 +59,21 @@ def _init_layer(key, cfg: VisionConfig) -> Params:
 def init_vision(key, cfg: VisionConfig) -> Params:
     kp, kc, kpos, kl = jax.random.split(key, 4)
     patch_dim = cfg.patch_size * cfg.patch_size * 3
-    return {
-        "patch_embed": {"kernel": jax.random.normal(kp, (patch_dim, cfg.hidden_size)) * 0.02},
+    patch = {"kernel": jax.random.normal(kp, (patch_dim, cfg.hidden_size)) * 0.02}
+    if cfg.patch_bias:
+        patch["bias"] = jnp.zeros((cfg.hidden_size,), jnp.float32)
+    params = {
+        "patch_embed": patch,
         "class_embed": jax.random.normal(kc, (cfg.hidden_size,)) * 0.02,
         "pos_embed": {
             "embedding": jax.random.normal(kpos, (cfg.seq_len, cfg.hidden_size)) * 0.02
         },
-        "pre_ln": init_layer_norm(cfg.hidden_size),
         "post_ln": init_layer_norm(cfg.hidden_size),
         "layers": init_stacked(kl, cfg.num_layers, lambda k: _init_layer(k, cfg)),
     }
+    if cfg.use_pre_ln:
+        params["pre_ln"] = init_layer_norm(cfg.hidden_size)
+    return params
 
 
 def apply_vision(
@@ -88,13 +93,16 @@ def apply_vision(
     patches = patchify(pixels.astype(dtype), cfg.patch_size)
     x = jnp.dot(patches, params["patch_embed"]["kernel"].astype(dtype),
                 preferred_element_type=dtype)
+    if "bias" in params["patch_embed"]:
+        x = x + params["patch_embed"]["bias"].astype(dtype)
     cls = jnp.broadcast_to(
         params["class_embed"].astype(dtype)[None, None, :],
         (x.shape[0], 1, x.shape[-1]),
     )
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"]["embedding"].astype(dtype)[None]
-    x = layer_norm(params["pre_ln"], x, eps)
+    if cfg.use_pre_ln:
+        x = layer_norm(params["pre_ln"], x, eps)
 
     def layer(h, p, idx, _):
         del idx
@@ -107,7 +115,9 @@ def apply_vision(
         return h, None
 
     x, _ = scan_apply(layer, x, params["layers"], remat=remat)
-    return x  # NOTE: post_ln applies only to the pooled CLS path, not here
+    if cfg.final_ln_output:  # ViT-style towers layernorm the whole output
+        x = layer_norm(params["post_ln"], x, eps)
+    return x  # CLIP-style towers: post_ln applies only to the pooled CLS path
 
 
 def pooled_output(params: Params, last_hidden: jnp.ndarray, cfg: VisionConfig) -> jnp.ndarray:

@@ -60,7 +60,7 @@ def _init_layer(key, cfg: DecoderConfig) -> Params:
 def init_decoder(key, cfg: DecoderConfig) -> Params:
     """Decoder params WITHOUT the token embedding (that's the shared table)."""
     kpos, kl = jax.random.split(key)
-    return {
+    params = {
         "pos_embed": {
             "embedding": jax.random.normal(
                 kpos, (cfg.max_position_embeddings + cfg.pos_offset, cfg.d_model)
@@ -68,9 +68,11 @@ def init_decoder(key, cfg: DecoderConfig) -> Params:
             * cfg.init_std
         },
         "ln_embed": init_layer_norm(cfg.d_model),
-        "final_ln": init_layer_norm(cfg.d_model),
         "layers": init_stacked(kl, cfg.num_layers, lambda k: _init_layer(k, cfg)),
     }
+    if cfg.use_final_ln:
+        params["final_ln"] = init_layer_norm(cfg.d_model)
+    return params
 
 
 def embed_tokens(shared: Params, ids: jnp.ndarray, cfg: DecoderConfig, dtype) -> jnp.ndarray:
@@ -119,26 +121,39 @@ def apply_decoder(
         cross_mask = enc_mask.astype(jnp.bool_)[:, None, None, :]
     enc_states = enc_states.astype(dtype)
 
+    post = cfg.post_norm
+
     def layer(h, p, idx, _):
         lrng = jax.random.fold_in(rng, idx) if rng is not None else None
         r = h
-        h = layer_norm(p["ln_self"], h, eps)
+        if not post:
+            h = layer_norm(p["ln_self"], h, eps)
         h = mha(p["self_attn"], h, h, self_mask, cfg.num_heads, impl=attn_impl)
         h = r + dropout(h, cfg.dropout, _site(lrng, 1))
+        if post:
+            h = layer_norm(p["ln_self"], h, eps)
         r = h
-        h = layer_norm(p["ln_cross"], h, eps)
+        if not post:
+            h = layer_norm(p["ln_cross"], h, eps)
         h = mha(p["cross_attn"], h, enc_states, cross_mask, cfg.num_heads)
         h = r + dropout(h, cfg.dropout, _site(lrng, 2))
+        if post:
+            h = layer_norm(p["ln_cross"], h, eps)
         r = h
-        h = layer_norm(p["ln_mlp"], h, eps)
+        if not post:
+            h = layer_norm(p["ln_mlp"], h, eps)
         h = act(dense(p["fc1"], h))
         h = dropout(h, cfg.activation_dropout, _site(lrng, 3))
         h = dense(p["fc2"], h)
         h = r + dropout(h, cfg.dropout, _site(lrng, 4))
+        if post:
+            h = layer_norm(p["ln_mlp"], h, eps)
         return h, None
 
     x, _ = scan_apply(layer, x, params["layers"], remat=remat)
-    return layer_norm(params["final_ln"], x, eps)
+    if cfg.use_final_ln:
+        x = layer_norm(params["final_ln"], x, eps)
+    return x
 
 
 def _site(rng: Optional[jax.Array], site: int) -> Optional[jax.Array]:
@@ -189,27 +204,39 @@ def decoder_step(
         None if enc_mask is None else enc_mask.astype(jnp.bool_)[:, None, None, :]
     )
 
+    post = cfg.post_norm
+
     def layer(h, p, idx, layer_cache):
         del idx
         sk, sv, xk, xv = layer_cache
         r = h
-        h = layer_norm(p["ln_self"], h, eps)
+        if not post:
+            h = layer_norm(p["ln_self"], h, eps)
         h, sk, sv = mha_decode_step(p["self_attn"], h, sk, sv, index, cfg.num_heads)
         h = r + h
+        if post:
+            h = layer_norm(p["ln_self"], h, eps)
         r = h
-        h = layer_norm(p["ln_cross"], h, eps)
+        if not post:
+            h = layer_norm(p["ln_cross"], h, eps)
         h = mha_with_kv(p["cross_attn"], h, xk, xv, cross_mask, cfg.num_heads)
         h = r + h
+        if post:
+            h = layer_norm(p["ln_cross"], h, eps)
         r = h
-        h = layer_norm(p["ln_mlp"], h, eps)
+        if not post:
+            h = layer_norm(p["ln_mlp"], h, eps)
         h = r + dense(p["fc2"], act(dense(p["fc1"], h)))
+        if post:
+            h = layer_norm(p["ln_mlp"], h, eps)
         return h, (sk, sv)
 
     x, (new_k, new_v) = scan_apply(
         layer, x, params["layers"],
         per_layer_xs=(cache.self_k, cache.self_v, cache.cross_k, cache.cross_v),
     )
-    x = layer_norm(params["final_ln"], x, eps)
+    if cfg.use_final_ln:
+        x = layer_norm(params["final_ln"], x, eps)
     new_cache = DecoderCache(
         self_k=new_k, self_v=new_v,
         cross_k=cache.cross_k, cross_v=cache.cross_v,

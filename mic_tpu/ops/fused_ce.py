@@ -1,0 +1,143 @@
+"""Chunked label-smoothed cross-entropy fused with the tied LM head.
+
+The trainer's memory hog is the logits tensor: (B, T, 250054) is ~2 GB in bf16
+at the reference's batch (plus the f32 softmax and its backward).  This op
+computes the SAME loss as lm_logits + label_smoothed_cross_entropy without
+ever materializing the full logits:
+
+- forward: `lax.scan` over token chunks; each chunk's logits (C, V) are
+  produced, reduced to (lse, label_logit, sum_logits) and discarded;
+- backward (custom_vjp): per chunk, logits are recomputed, the softmax-minus-
+  smoothed-target gradient is formed and immediately contracted into
+  d_hidden / d_embedding / d_bias accumulators.
+
+Peak residency drops from O(B*T*V) to O(C*V) at identical gradients
+(tests/test_fused_ce.py pins both loss and grads to the unfused path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _chunk(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    n = x.shape[0]
+    pad = (-n) % size
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return x.reshape(-1, size, *x.shape[1:])
+
+
+def _logits_chunk(h, emb, bias):
+    # (C, D) x (V, D)^T + (V,) -> (C, V) in f32
+    logits = jnp.einsum(
+        "cd,vd->cv", h, emb, preferred_element_type=jnp.float32
+    )
+    return logits + bias.astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_lm_loss(
+    hidden: jnp.ndarray,    # (B, T, D) decoder output, compute dtype
+    embedding: jnp.ndarray, # (V, D) shared table (tied LM head)
+    bias: jnp.ndarray,      # (V,) final_logits_bias
+    labels: jnp.ndarray,    # (B, T)
+    mask: jnp.ndarray,      # (B, T)
+    label_smoothing: float = 0.0,
+    chunk: int = 512,
+) -> jnp.ndarray:
+    loss, _ = _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk)
+    return loss
+
+
+def _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk):
+    b, t, d = hidden.shape
+    vocab = embedding.shape[0]
+    h = _chunk(hidden.reshape(b * t, d), chunk)
+    y = _chunk(labels.reshape(b * t), chunk)
+    m = _chunk(mask.reshape(b * t).astype(jnp.float32), chunk)
+
+    confidence = 1.0 - label_smoothing
+    low = label_smoothing / (vocab - 1)
+
+    def body(acc, xs):
+        h_c, y_c, m_c = xs
+        logits = _logits_chunk(h_c, embedding, bias)
+        mx = jnp.max(logits, axis=-1)
+        lse = mx + jnp.log(jnp.sum(jnp.exp(logits - mx[:, None]), axis=-1))
+        label_logit = jnp.take_along_axis(logits, y_c[:, None], axis=-1)[:, 0]
+        if label_smoothing > 0.0:
+            sum_logits = jnp.sum(logits, axis=-1)
+            expected = confidence * label_logit + low * (sum_logits - label_logit)
+        else:
+            expected = label_logit
+        loss_c = (lse - expected) * m_c
+        return (acc[0] + jnp.sum(loss_c), acc[1] + jnp.sum(m_c)), None
+
+    (loss_sum, denom), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)), (h, y, m)
+    )
+    if label_smoothing > 0.0:
+        normalizing = -(
+            confidence * jnp.log(confidence)
+            + (vocab - 1) * low * jnp.log(low + 1e-20)
+        )
+    else:
+        normalizing = 0.0
+    return loss_sum / denom - normalizing, denom
+
+
+def _fused_fwd(hidden, embedding, bias, labels, mask, label_smoothing, chunk):
+    loss, denom = _fwd_impl(
+        hidden, embedding, bias, labels, mask, label_smoothing, chunk
+    )
+    return loss, (hidden, embedding, bias, labels, mask, denom)
+
+
+def _fused_bwd(label_smoothing, chunk, res, g):
+    hidden, embedding, bias, labels, mask, denom = res
+    b, t, d = hidden.shape
+    vocab = embedding.shape[0]
+    h = _chunk(hidden.reshape(b * t, d), chunk)
+    y = _chunk(labels.reshape(b * t), chunk)
+    m = _chunk(mask.reshape(b * t).astype(jnp.float32), chunk)
+
+    confidence = 1.0 - label_smoothing
+    low = label_smoothing / (vocab - 1)
+    scale = g / denom
+
+    def body(acc, xs):
+        demb, dbias = acc
+        h_c, y_c, m_c = xs
+        logits = _logits_chunk(h_c, embedding, bias)
+        p = jax.nn.softmax(logits, axis=-1)
+        onehot = jax.nn.one_hot(y_c, vocab, dtype=jnp.float32)
+        target = low + (confidence - low) * onehot
+        dlogits = (p - target) * (m_c * scale)[:, None]        # (C, V) f32
+        dl = dlogits.astype(hidden.dtype)
+        dh_c = jnp.einsum("cv,vd->cd", dl, embedding,
+                          preferred_element_type=jnp.float32).astype(hidden.dtype)
+        demb = demb + jnp.einsum("cv,cd->vd", dl, h_c,
+                                 preferred_element_type=jnp.float32)
+        dbias = dbias + jnp.sum(dlogits, axis=0)
+        return (demb, dbias), dh_c
+
+    init = (
+        jnp.zeros((vocab, d), jnp.float32),
+        jnp.zeros((vocab,), jnp.float32),
+    )
+    (demb, dbias), dh = jax.lax.scan(body, init, (h, y, m))
+    dh = dh.reshape(-1, d)[: b * t].reshape(b, t, d)
+    return (
+        dh,
+        demb.astype(embedding.dtype),
+        dbias.astype(bias.dtype),
+        None,
+        None,
+    )
+
+
+fused_lm_loss.defvjp(_fused_fwd, _fused_bwd)

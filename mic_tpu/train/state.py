@@ -38,6 +38,7 @@ def make_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     max_grad_norm: float | None = None,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
     """AdamW with no decay on LayerNorm/bias params (standard practice; the
     reference decayed everything uniformly via optax.adamw, main.py:629-635)."""
@@ -51,7 +52,7 @@ def make_optimizer(
         return jax.tree_util.tree_map_with_path(is_decayed, params)
 
     tx = optax.adamw(
-        learning_rate=learning_rate_fn, b1=b1, b2=b2, eps=eps,
+        learning_rate=learning_rate_fn, b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype,
         weight_decay=weight_decay, mask=decay_mask if weight_decay > 0 else None,
     )
     if max_grad_norm is not None:

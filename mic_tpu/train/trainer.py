@@ -80,6 +80,7 @@ class Trainer:
         )
         train_loader = CaptionLoader(
             train_ds, self.tokenizer, self.global_batch,
+            process_shard=(jax.process_index(), jax.process_count()),
             image_size=self.dc.decode_size, max_length=self.dc.max_seq_length,
             shuffle=True, drop_last=True, seed=self.dc.shuffle_seed,
             num_workers=self.dc.num_workers, lang_codes=lang_codes,
@@ -110,6 +111,7 @@ class Trainer:
         self.optimizer = make_optimizer(
             self.lr_fn, weight_decay=tc.weight_decay, b1=tc.adam_b1,
             b2=tc.adam_b2, eps=tc.adam_eps, max_grad_norm=tc.max_grad_norm,
+            mu_dtype=tc.adam_mu_dtype,
         )
 
         model, image_size = self.model, self.mc.vision.image_size
@@ -127,19 +129,35 @@ class Trainer:
 
         label_smoothing = tc.label_smoothing
 
+        def compute_loss(params, pixels, batch, rng):
+            if tc.fused_ce and tc.ce_chunk > 0:
+                from mic_tpu.ops.fused_ce import fused_lm_loss
+
+                enc = model.encode(params, pixels)
+                hidden = model.decode_hidden(
+                    params, enc, batch["decoder_input_ids"],
+                    batch["decoder_attention_mask"], rng,
+                )
+                return fused_lm_loss(
+                    hidden, params["shared"]["embedding"],
+                    params["final_logits_bias"], batch["labels"],
+                    batch["decoder_attention_mask"], label_smoothing, tc.ce_chunk,
+                )
+            logits = model(
+                params, pixels, batch["decoder_input_ids"],
+                batch["decoder_attention_mask"], rng=rng,
+            )
+            return label_smoothed_cross_entropy(
+                logits, batch["labels"], batch["decoder_attention_mask"],
+                label_smoothing,
+            )
+
         def train_step(state: TrainState, batch):
             pixels = maybe_preprocess(batch["pixel_values"], image_size, dtype)
             step_rng = jax.random.fold_in(state.dropout_rng, state.step)
 
             def loss_fn(params):
-                logits = model(
-                    params, pixels, batch["decoder_input_ids"],
-                    batch["decoder_attention_mask"], rng=step_rng,
-                )
-                return label_smoothed_cross_entropy(
-                    logits, batch["labels"], batch["decoder_attention_mask"],
-                    label_smoothing,
-                )
+                return compute_loss(params, pixels, batch, step_rng)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             updates, opt_state = self.optimizer.update(
@@ -160,14 +178,7 @@ class Trainer:
 
         def eval_step(params, batch):
             pixels = maybe_preprocess(batch["pixel_values"], image_size, dtype)
-            logits = model(
-                params, pixels, batch["decoder_input_ids"],
-                batch["decoder_attention_mask"],
-            )
-            loss = label_smoothed_cross_entropy(
-                logits, batch["labels"], batch["decoder_attention_mask"],
-                label_smoothing,
-            )
+            loss = compute_loss(params, pixels, batch, None)
             ntok = jnp.sum(batch["decoder_attention_mask"])
             return {"loss": loss, "ntok": ntok}
 
@@ -239,6 +250,13 @@ class Trainer:
         return metrics
 
     def _put_batch(self, batch: dict):
+        if jax.process_count() > 1:
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self.batch_shard, np.asarray(x)
+                ),
+                dict(batch),
+            )
         return jax.tree.map(
             lambda x: jax.device_put(x, self.batch_shard), dict(batch)
         )
@@ -254,13 +272,25 @@ class Trainer:
         self.logger.log(0, {"param_count_m": count_params(state.params) / 1e6})
         timer = StepTimer()
         step = int(jax.device_get(state.step))
+        prof_range = None
+        if self.tc.profile_steps:
+            a, _, z = self.tc.profile_steps.partition(":")
+            prof_range = (int(a), int(z or int(a) + 3))
 
         while train_loader.epoch < self.tc.num_epochs:
             for batch in train_loader.epoch_iterator():
                 dev_batch = self._put_batch(batch)
+                if prof_range and step == prof_range[0]:
+                    jax.profiler.start_trace(
+                        os.path.join(self.tc.output_dir, "profile")
+                    )
                 state, metrics = self.p_train_step(state, dev_batch)
                 step += 1
                 timer.tick()
+                if prof_range and step == prof_range[1]:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    prof_range = None
 
                 if step % self.tc.logging_steps == 0:
                     scalars = {k: float(v) for k, v in host_pytree(metrics).items()}
