@@ -8,6 +8,7 @@ minus its bugs — the reference script references undefined names).
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +31,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     model, params = Captioner.from_pretrained(args.model_dir)
-    tokenizer = load_tokenizer(args.tokenizer)
+    tok_path = args.tokenizer
+    if tok_path is None:  # fall back to the tokenizer saved with the model
+        candidate = os.path.join(args.model_dir, "tokenizer.json")
+        tok_path = candidate if os.path.exists(candidate) else None
+    tokenizer = load_tokenizer(tok_path)
     start = tokenizer.lang_code_to_id[args.lang]
 
     raw = np.stack([load_image(p, 256) for p in args.images])

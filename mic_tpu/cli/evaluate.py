@@ -9,6 +9,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 import json
 
 import jax
@@ -37,7 +38,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     model, params = Captioner.from_pretrained(args.model_dir)
-    tokenizer = load_tokenizer(args.tokenizer)
+    tok_path = args.tokenizer
+    if tok_path is None:  # fall back to the tokenizer saved with the model
+        candidate = os.path.join(args.model_dir, "tokenizer.json")
+        tok_path = candidate if os.path.exists(candidate) else None
+    tokenizer = load_tokenizer(tok_path)
     dataset = CaptionDataset(args.tsv_path, args.images_dir)
 
     @jax.jit

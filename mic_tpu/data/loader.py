@@ -139,7 +139,10 @@ class CaptionLoader:
 
     def _get_pool(self):
         if self._pool is None and self.num_workers > 0:
-            ctx = mp.get_context("fork")
+            # spawn, not fork: the parent holds live JAX/TPU threads by the
+            # time the first batch is requested, and forking a multithreaded
+            # process can deadlock. Workers only need PIL/numpy/the tokenizer.
+            ctx = mp.get_context("spawn")
             self._pool = ctx.Pool(
                 self.num_workers,
                 initializer=_init_worker,

@@ -311,9 +311,10 @@ class Trainer:
             self.logger.log(step, self.evaluate(state.params, eval_loaders),
                             prefix="eval")
         # export a servable model directory alongside the train checkpoints
-        self.model.save_pretrained(
-            os.path.join(self.tc.output_dir, "model"), state.params
-        )
+        model_dir = os.path.join(self.tc.output_dir, "model")
+        self.model.save_pretrained(model_dir, state.params)
+        if hasattr(self.tokenizer, "save"):  # SimpleTokenizer vocab travels too
+            self.tokenizer.save(os.path.join(model_dir, "tokenizer.json"))
         return state
 
     def _save(self, step: int, state: TrainState, loader: CaptionLoader) -> None:
