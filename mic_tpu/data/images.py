@@ -17,8 +17,20 @@ ImageFile.LOAD_TRUNCATED_IMAGES = True
 
 
 def load_image(path: str, size: int = 256) -> np.ndarray:
-    """Decode -> RGB -> shortest side to `size` (bicubic) -> center crop.
-    Returns (size, size, 3) uint8."""
+    """Decode -> RGB -> shortest side to `size` -> center crop.
+    Returns (size, size, 3) uint8.
+
+    JPEGs go through the native libjpeg path when built (scale-on-decode +
+    resize + crop in one C++ pass, tools/build_native.sh); everything else
+    (and any native failure) uses PIL."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from mic_tpu.data import native
+
+        if native.available():
+            with open(path, "rb") as f:
+                out = native.decode_jpeg(f.read(), size)
+            if out is not None:
+                return out
     with Image.open(path) as im:
         im = im.convert("RGB")
         w, h = im.size

@@ -42,7 +42,12 @@ import jax.numpy as jnp
 
 from mic_tpu.generate.processors import NEG_INF, Processor, build_warpers
 from mic_tpu.nn.cache import DecoderCache
+import os
+
 from mic_tpu.ops.beam_permute import beam_permute_matmul
+from mic_tpu.ops.topk_lse import topk_log_probs
+
+_USE_PALLAS_TOPK = os.environ.get("MIC_TPU_PALLAS_TOPK", "0") == "1"
 
 StepFn = Callable[[jnp.ndarray, DecoderCache], tuple[jnp.ndarray, DecoderCache]]
 
@@ -80,31 +85,38 @@ def _candidates(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k candidate (log_probs (N,k), token_ids (N,k)) per row, honoring
     forced tokens (cond branch, no top-k) and min-length EOS blocking."""
-    lse = _logsumexp(logits.astype(jnp.float32))
     n = logits.shape[0]
     forced_tok = spec.forced_token_at(cur_len)
 
     def normal(_):
-        # top_k on the raw (usually bf16) logits: monotone under the f32 cast,
-        # and avoids materializing a vocab-wide f32 copy just to rank rows
+        if _USE_PALLAS_TOPK:
+            # fused Pallas top-k+logsumexp pass (ops/topk_lse.py); currently
+            # ~12% slower than XLA's TopK custom-call at the flagship shapes
+            # (the in-kernel K-step select-and-mask is VPU-bound), so opt-in
+            return topk_log_probs(logits, k)
+        lse = _logsumexp(logits.astype(jnp.float32))
+        # top_k on the raw (usually bf16) logits: monotone under the f32 cast
         vals, ids = jax.lax.top_k(logits, k)
-        return vals.astype(jnp.float32), ids
+        return vals.astype(jnp.float32) - lse[:, None], ids
 
     def forced(tok):
+        lse = _logsumexp(logits.astype(jnp.float32))
         ids = jnp.full((n, k), tok, jnp.int32)
-        val = jnp.take_along_axis(logits, ids[:, :1], axis=-1).astype(jnp.float32)
+        val = (
+            jnp.take_along_axis(logits, ids[:, :1], axis=-1).astype(jnp.float32)
+            - lse[:, None]
+        )
         vals = jnp.concatenate(
             [val, jnp.full((n, k - 1), NEG_INF, jnp.float32)], axis=-1
         )
         return vals, ids
 
     if spec.forced:
-        cand_logits, cand_ids = jax.lax.cond(
+        cand_lp, cand_ids = jax.lax.cond(
             forced_tok >= 0, forced, normal, forced_tok
         )
     else:
-        cand_logits, cand_ids = normal(None)
-    cand_lp = cand_logits - lse[:, None]
+        cand_lp, cand_ids = normal(None)
     if spec.min_length > 0:
         blocked = (cur_len < spec.min_length) & (cand_ids == spec.eos_token_id)
         cand_lp = jnp.where(blocked, NEG_INF, cand_lp)
