@@ -120,7 +120,15 @@ class Captioner:
 
     def lm_logits(self, params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
         if self.config.tie_word_embeddings:
-            kernel = params["shared"]["embedding"].T
+            shared = params["shared"]
+            if "embedding_q" in shared:  # int8: scale applies per vocab row,
+                # i.e. per logits column — apply after the int8->bf16 matmul
+                logits = jnp.dot(
+                    hidden, shared["embedding_q"].astype(self.dtype).T,
+                    preferred_element_type=self.dtype,
+                ) * shared["embedding_scale"].astype(self.dtype)
+                return logits + params["final_logits_bias"].astype(self.dtype)
+            kernel = shared["embedding"].T
         else:
             kernel = params["lm_head"]["kernel"]
         logits = jnp.dot(
@@ -131,24 +139,30 @@ class Captioner:
     # -- generation ---------------------------------------------------------
 
     def init_decode_cache(
-        self, params: Params, enc_states: jnp.ndarray, max_length: int
+        self, params: Params, enc_states: jnp.ndarray, max_length: int,
+        beams: int = 1,
     ) -> DecoderCache:
+        """enc_states is TRUE-batch (B, S, D): the cross-attention cache keeps
+        one K/V copy per image; only the self-attention cache is per-beam."""
         cfg = self.config.decoder
         batch, enc_len = enc_states.shape[0], enc_states.shape[1]
         cross_k, cross_v = mbart_decoder.init_cross_cache(
             params["decoder"], enc_states, cfg, self.dtype
         )
         empty = init_cache(
-            cfg.num_layers, batch, max_length, enc_len, cfg.num_heads,
+            cfg.num_layers, batch * beams, max_length, enc_len, cfg.num_heads,
             cfg.head_dim, self.dtype,
         )
         return empty._replace(cross_k=cross_k, cross_v=cross_v)
 
-    def decode_step(self, params: Params, token_ids: jnp.ndarray, cache: DecoderCache):
-        """(B, 1) tokens + cache -> ((B, vocab) logits, updated cache)."""
+    def decode_step(
+        self, params: Params, token_ids: jnp.ndarray, cache: DecoderCache,
+        beams: int = 1,
+    ):
+        """(B*beams, 1) tokens + cache -> ((B*beams, vocab) logits, cache)."""
         hidden, cache = mbart_decoder.decoder_step(
             params["decoder"], params["shared"], token_ids, cache,
-            self.config.decoder, self.dtype,
+            self.config.decoder, self.dtype, beams=beams,
         )
         return self.lm_logits(params, hidden)[:, 0, :], cache
 
@@ -162,6 +176,7 @@ class Captioner:
         """Caption a batch of images. Jittable; all defaults come from
         config.generation, overridable per call (max_length, num_beams,
         forced_bos_token_id, decoder_start_token_id, do_sample, ...)."""
+        quantize = overrides.pop("quantize", None)
         gen = self.config.generation.replace(**overrides)
         dec = self.config.decoder
         start = (
@@ -171,6 +186,12 @@ class Captioner:
         )
         batch = pixel_values.shape[0]
 
+        if quantize == "int8":
+            # int8 weight-only decode: halves weight streaming again vs bf16
+            # (every decode step re-reads all decoder + LM-head weights)
+            from mic_tpu.ops.quant import quantize_params_for_decode
+
+            params = quantize_params_for_decode(params)
         if self.dtype != jnp.float32:
             # cast weights to the compute dtype ONCE, outside the decode loop:
             # halves the HBM weight traffic of every step (params live f32 for
@@ -181,14 +202,13 @@ class Captioner:
                 params,
             )
 
-        enc_states = self.encode(params, pixel_values)
-        if gen.num_beams > 1:
-            # expand each image's encoder states K times: (B*K, S, D)
-            enc_states = jnp.repeat(enc_states, gen.num_beams, axis=0)
-        cache = self.init_decode_cache(params, enc_states, gen.max_length)
+        enc_states = self.encode(params, pixel_values)  # true batch: no repeat
+        cache = self.init_decode_cache(
+            params, enc_states, gen.max_length, beams=gen.num_beams
+        )
 
         def step_fn(token_ids, cache):
-            return self.decode_step(params, token_ids, cache)
+            return self.decode_step(params, token_ids, cache, beams=gen.num_beams)
 
         forced = []
         if gen.forced_bos_token_id is not None:

@@ -25,6 +25,7 @@ from mic_tpu.core.config import DecoderConfig
 from mic_tpu.nn.attention import (
     init_mha,
     mha,
+    mha_cross_grouped,
     mha_decode_step,
     mha_with_kv,
     project_kv,
@@ -184,13 +185,18 @@ def init_cross_cache(
 def decoder_step(
     params: Params,
     shared: Params,
-    token_ids: jnp.ndarray,   # (B, 1) tokens for this step
+    token_ids: jnp.ndarray,   # (B*beams, 1) tokens for this step
     cache: DecoderCache,
     cfg: DecoderConfig,
     dtype=jnp.float32,
-    enc_mask: Optional[jnp.ndarray] = None,  # (B, S) or None
+    enc_mask: Optional[jnp.ndarray] = None,  # (B, S) or None (true batch B)
+    beams: int = 1,
 ) -> Tuple[jnp.ndarray, DecoderCache]:
-    """One cached decode step -> (hidden (B, 1, d_model), updated cache)."""
+    """One cached decode step -> (hidden (B*beams, 1, d_model), updated cache).
+
+    The self-attention cache is per (batch*beam) row; the cross-attention
+    cache is per IMAGE (true batch) and shared across beams via grouped
+    attention (mic_tpu/nn/attention.py mha_cross_grouped)."""
     eps = cfg.layer_norm_eps
     act = ACTIVATIONS[cfg.activation]
     index = cache.index
@@ -219,7 +225,9 @@ def decoder_step(
         r = h
         if not post:
             h = layer_norm(p["ln_cross"], h, eps)
-        h = mha_with_kv(p["cross_attn"], h, xk, xv, cross_mask, cfg.num_heads)
+        h = mha_cross_grouped(
+            p["cross_attn"], h, xk, xv, cross_mask, cfg.num_heads, beams
+        )
         h = r + h
         if post:
             h = layer_norm(p["ln_cross"], h, eps)

@@ -105,24 +105,21 @@ class MBartSeq2Seq:
             else cfg.decoder_start_token_id
         )
 
+        # true-batch encoder states/mask: cross K/V are stored once per source
+        # sentence and shared across beams (grouped cross-attention)
         enc = self.encode(params, input_ids, attention_mask)
-        enc_mask = attention_mask
-        if gen.num_beams > 1:
-            enc = jnp.repeat(enc, gen.num_beams, axis=0)
-            enc_mask = jnp.repeat(enc_mask, gen.num_beams, axis=0)
-
         cross_k, cross_v = mbart_decoder.init_cross_cache(
             params["decoder"], enc, cfg, self.dtype
         )
         cache = init_cache(
-            cfg.num_layers, enc.shape[0], gen.max_length, enc.shape[1],
+            cfg.num_layers, batch * gen.num_beams, gen.max_length, enc.shape[1],
             cfg.num_heads, cfg.head_dim, self.dtype,
         )._replace(cross_k=cross_k, cross_v=cross_v)
 
         def step_fn(token_ids, cache: DecoderCache):
             hidden, cache = mbart_decoder.decoder_step(
                 params["decoder"], params["shared"], token_ids, cache,
-                cfg, self.dtype, enc_mask=enc_mask,
+                cfg, self.dtype, enc_mask=attention_mask, beams=gen.num_beams,
             )
             return self.lm_logits(params, hidden)[:, 0, :], cache
 

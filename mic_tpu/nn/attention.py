@@ -67,6 +67,37 @@ def mha_with_kv(
     return dense(params["o"], merge_heads(out))
 
 
+def mha_cross_grouped(
+    params: Params,
+    x: jnp.ndarray,          # (B*beams, 1, D) current-step hidden states
+    k: jnp.ndarray,          # (B, S, H, Dh) — ONE copy per image, not per beam
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],  # (B, 1, 1, S) or None
+    num_heads: int,
+    beams: int,
+) -> jnp.ndarray:
+    """Beam-grouped cached cross-attention: all of an image's beams share the
+    same encoder K/V, so the cache stores them once per image and the beams
+    ride the query axis.  Cuts cross-KV HBM reads by the beam factor per step
+    (~1 GB/step at the flagship beam-4 config)."""
+    bk, one, d = x.shape
+    head_dim = d // num_heads
+    b = k.shape[0]
+    q = dense(params["q"], x) * (head_dim**-0.5)
+    q = q.reshape(b, (bk // b) * one, num_heads, head_dim)      # (B, K, H, Dh)
+    scores = jnp.einsum(
+        "bkhd,bshd->bhks", q, k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum(
+        "bhks,bshd->bkhd", weights, v, preferred_element_type=x.dtype
+    )
+    out = out.reshape(bk, one, d)
+    return dense(params["o"], out)
+
+
 def mha_decode_step(
     params: Params,
     x: jnp.ndarray,          # (B, 1, D) current-step hidden states

@@ -40,12 +40,14 @@ class DecoderCache(NamedTuple):
         return self.self_k.shape[2]
 
     def reorder(self, batch_indices: jnp.ndarray) -> "DecoderCache":
-        """Gather the cache along the batch axis (beam reordering)."""
+        """Gather the SELF cache along its batch axis (beam reordering).
+        Cross K/V are stored per true-batch row (shared across beams via
+        grouped cross-attention) and never move."""
         return DecoderCache(
             self_k=jnp.take(self.self_k, batch_indices, axis=1),
             self_v=jnp.take(self.self_v, batch_indices, axis=1),
-            cross_k=jnp.take(self.cross_k, batch_indices, axis=1),
-            cross_v=jnp.take(self.cross_v, batch_indices, axis=1),
+            cross_k=self.cross_k,
+            cross_v=self.cross_v,
             index=self.index,
         )
 

@@ -50,7 +50,13 @@ def init_embed(key, vocab: int, dim: int, std: float = 0.02) -> Params:
 
 def dense(params: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     dtype = dtype or x.dtype
-    kernel = params["kernel"].astype(dtype)
+    if "kernel_q" in params:  # int8 weight-only quant (mic_tpu/ops/quant.py)
+        kernel = (
+            params["kernel_q"].astype(dtype)
+            * params["kernel_scale"].astype(dtype)[..., None, :]
+        )
+    else:
+        kernel = params["kernel"].astype(dtype)
     y = jnp.dot(x.astype(dtype), kernel, preferred_element_type=dtype)
     if "bias" in params:
         y = y + params["bias"].astype(dtype)
@@ -68,6 +74,11 @@ def layer_norm(params: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray
 
 
 def embed(params: Params, ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    if "embedding_q" in params:  # int8 table: gather rows, then dequant
+        rows = jnp.take(params["embedding_q"], ids, axis=0)
+        scale = jnp.take(params["embedding_scale"], ids, axis=0)
+        dtype = dtype or jnp.float32
+        return rows.astype(dtype) * scale.astype(dtype)[..., None]
     table = params["embedding"]
     if dtype is not None:
         table = table.astype(dtype)
