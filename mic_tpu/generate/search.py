@@ -341,8 +341,8 @@ def _beam_search(
         next_is_finished = jnp.take_along_axis(merged_finished, keep, axis=1)
 
         # reorder the flat (B*K) cache to follow the chosen running beams
-        # (one-hot matmul over the batch axis; cross-attn caches are
-        # beam-invariant within a group and never move)
+        # (length-bucketed one-hot matmul over the batch axis; cross-attn
+        # caches are beam-invariant within a group and never move)
         src_beam = _gather_beams(topk_beam[:, :, None], running_pick)[:, :, 0]
         cache = cache._replace(
             self_k=beam_permute_matmul(cache.self_k, src_beam, K),

@@ -118,3 +118,46 @@ def mha_decode_step(
     mask = valid[None, None, None, :]                         # (1, 1, 1, max_len)
     out = dot_product_attention(q, cache_k, cache_v, mask=mask)
     return dense(params["o"], merge_heads(out)), cache_k, cache_v
+
+
+def mha_decode_step_split(
+    params: Params,
+    x: jnp.ndarray,          # (B, 1, D) current-step hidden states
+    cache_k: jnp.ndarray,    # (B, max_len, H, Dh) — WITHOUT the current token
+    cache_v: jnp.ndarray,
+    index: jnp.ndarray,      # scalar int32: position of the current token
+    num_heads: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Cached self-attention that never writes the full cache back.
+
+    The current token's K/V are kept OUT of the cache and folded into the
+    softmax with a second tiny dot (joint normalization), so a decode step's
+    layer scan emits only the (B, 1, H, Dh) new column as its output — the
+    caller writes all layers' columns with one small dynamic_update_slice
+    instead of streaming the whole cache through the scan ys (profiled
+    ~1.2 ms/step of pure copy at the flagship config).
+
+    Returns (attn_out, k_step, v_step)."""
+    head_dim = x.shape[-1] // num_heads
+    q = split_heads(dense(params["q"], x) * (head_dim**-0.5), num_heads)
+    k_step, v_step = project_kv(params, x, num_heads)
+
+    s_cache = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, cache_k, preferred_element_type=jnp.float32
+    )                                                       # (B, H, 1, T)
+    valid = (jnp.arange(cache_k.shape[1]) < index)[None, None, None, :]
+    s_cache = jnp.where(valid, s_cache, jnp.finfo(jnp.float32).min)
+    s_step = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k_step, preferred_element_type=jnp.float32
+    )                                                       # (B, H, 1, 1)
+
+    m = jnp.maximum(jnp.max(s_cache, axis=-1, keepdims=True), s_step)
+    w_cache = jnp.exp(s_cache - m)
+    w_step = jnp.exp(s_step - m)
+    denom = jnp.sum(w_cache, axis=-1, keepdims=True) + w_step
+    w_cache = (w_cache / denom).astype(x.dtype)
+    w_step = (w_step / denom).astype(x.dtype)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", w_cache, cache_v, preferred_element_type=x.dtype
+    ) + w_step.transpose(0, 2, 1, 3) * v_step
+    return dense(params["o"], merge_heads(out)), k_step, v_step

@@ -61,6 +61,38 @@ def beam_permute_matmul(
     return jnp.moveaxis(out, -1, 1)
 
 
+def beam_permute_matmul_prefix(
+    kv: jnp.ndarray,
+    beam_indices: jnp.ndarray,
+    num_beams: int,
+    prefix_len: jnp.ndarray,
+) -> jnp.ndarray:
+    """Length-bucketed beam permute: only the first `prefix_len` time columns
+    hold live tokens, so a `lax.switch` over quarter-length buckets permutes
+    just the covering prefix and writes it back (the stale tail is never read:
+    attention masks positions >= index, and column j is overwritten at step j).
+    MEASURED NEGATIVE at the flagship config (64.6 vs 88.5 captions/s/chip):
+    the lax.switch branch's dynamic_update_slice cannot alias the while-loop
+    carry, so every step pays a full-cache copy on top of the prefix permute.
+    Kept for reference; the default path uses the full matmul permute."""
+    t = kv.shape[2]
+    buckets = sorted({max(t // 4, 1), max(t // 2, 1), max(3 * t // 4, 1), t})
+
+    def make_branch(b):
+        def branch(kv):
+            pre = jax.lax.slice_in_dim(kv, 0, b, axis=2)
+            per = beam_permute_matmul(pre, beam_indices, num_beams)
+            if b == t:
+                return per
+            return jax.lax.dynamic_update_slice_in_dim(kv, per, 0, axis=2)
+
+        return branch
+
+    which = jnp.sum(prefix_len > jnp.asarray(buckets, jnp.int32))
+    which = jnp.clip(which, 0, len(buckets) - 1)
+    return jax.lax.switch(which, [make_branch(b) for b in buckets], kv)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def beam_permute(kv: jnp.ndarray, beam_indices: jnp.ndarray, num_beams: int) -> jnp.ndarray:
     """kv: (L, B*K, T, H, Dh); beam_indices: (B, K) within-group source beams.
