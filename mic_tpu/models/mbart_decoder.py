@@ -27,8 +27,6 @@ from mic_tpu.nn.attention import (
     mha,
     mha_cross_grouped,
     mha_decode_step,
-    mha_decode_step_split,
-    mha_with_kv,
     project_kv,
 )
 from mic_tpu.nn.cache import DecoderCache
