@@ -14,25 +14,24 @@ tests/test_train.py) and fuses into the logits computation under XLA.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.special import logsumexp
 
 
-def label_smoothed_cross_entropy(
-    logits: jnp.ndarray,       # (B, T, V) any float dtype
-    labels: jnp.ndarray,       # (B, T) int
-    mask: jnp.ndarray,         # (B, T) 1 = counts toward the loss
-    label_smoothing: float = 0.0,
-) -> jnp.ndarray:
-    logits = logits.astype(jnp.float32)
+def _forward(logits, labels, mask, label_smoothing):
+    logits32 = logits.astype(jnp.float32)
     vocab = logits.shape[-1]
     confidence = 1.0 - label_smoothing
     low_confidence = label_smoothing / (vocab - 1)
 
-    lse = logsumexp(logits, axis=-1)                                # (B, T)
-    label_logit = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+    lse = logsumexp(logits32, axis=-1)                              # (B, T)
+    label_logit = jnp.take_along_axis(logits32, labels[..., None], axis=-1)[..., 0]
     if label_smoothing > 0.0:
-        sum_logits = jnp.sum(logits, axis=-1)
+        sum_logits = jnp.sum(logits32, axis=-1)
         expected_logit = (
             confidence * label_logit + low_confidence * (sum_logits - label_logit)
         )
@@ -47,3 +46,41 @@ def label_smoothed_cross_entropy(
     loss = lse - expected_logit - normalizing
     mask = mask.astype(jnp.float32)
     return jnp.sum(loss * mask) / jnp.sum(mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def label_smoothed_cross_entropy(
+    logits: jnp.ndarray,       # (B, T, V) any float dtype
+    labels: jnp.ndarray,       # (B, T) int
+    mask: jnp.ndarray,         # (B, T) 1 = counts toward the loss
+    label_smoothing: float = 0.0,
+) -> jnp.ndarray:
+    return _forward(logits, labels, mask, label_smoothing)
+
+
+def _ce_fwd(logits, labels, mask, label_smoothing):
+    return _forward(logits, labels, mask, label_smoothing), (logits, labels, mask)
+
+
+def _ce_bwd(label_smoothing, res, g):
+    """Hand-written backward: dlogits = (softmax - smoothed_target) scaled,
+    emitted directly in the logits dtype.  Guarantees the vocab-wide cotangent
+    never materializes above the compute dtype (measured neutral vs AD at
+    B=32 — current XLA already fuses the cast — kept for robustness across
+    compiler versions and validated against the fused-CE grads)."""
+    logits, labels, mask = res
+    vocab = logits.shape[-1]
+    confidence = 1.0 - label_smoothing
+    low = label_smoothing / (vocab - 1) if label_smoothing > 0.0 else 0.0
+
+    mask32 = mask.astype(jnp.float32)
+    scale = (g / jnp.sum(mask32)) * mask32                          # (B, T)
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    onehot = jax.nn.one_hot(labels, vocab, dtype=jnp.float32)
+    target = low + (confidence - low) * onehot if label_smoothing > 0.0 else onehot
+    dlogits = ((p - target) * scale[..., None]).astype(logits.dtype)
+    zero = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return dlogits, zero(labels), zero(mask)
+
+
+label_smoothed_cross_entropy.defvjp(_ce_fwd, _ce_bwd)
