@@ -42,6 +42,10 @@ from mic_tpu.nn.layers import (
 )
 from mic_tpu.nn.stacked import init_stacked, scan_apply
 
+import os
+
+_FUSED_DECODE = os.environ.get("MIC_TPU_FUSED_DECODE", "0") == "1"
+
 
 def _init_layer(key, cfg: DecoderConfig) -> Params:
     ks, kx, k1, k2 = jax.random.split(key, 4)
@@ -181,6 +185,87 @@ def init_cross_cache(
     return jax.vmap(one_layer)(params["layers"])
 
 
+def _decoder_step_fused(
+    params: Params,
+    shared: Params,
+    token_ids: jnp.ndarray,
+    cache: DecoderCache,
+    cfg: DecoderConfig,
+    dtype,
+    enc_mask: Optional[jnp.ndarray],
+    beams: int,
+) -> Tuple[jnp.ndarray, DecoderCache]:
+    """decoder_step variant using the fused Pallas decode-attention kernel
+    (mic_tpu/ops/decode_attention.py): the self-attention cache rides the scan
+    CARRY and is updated in place by the kernel (aliased), with attention
+    reading only the live ceil((index+1)/chunk) cache chunks.
+    Enable with MIC_TPU_FUSED_DECODE=1."""
+    from mic_tpu.nn.layers import merge_heads, split_heads
+    from mic_tpu.ops.decode_attention import decode_attention
+
+    eps = cfg.layer_norm_eps
+    act = ACTIVATIONS[cfg.activation]
+    index = cache.index
+    post = cfg.post_norm
+    head_dim = cfg.head_dim
+
+    x = embed_tokens(shared, token_ids, cfg, dtype)
+    pos = jnp.full(token_ids.shape, index, token_ids.dtype)
+    x = x + embed(params["pos_embed"], pos + cfg.pos_offset, dtype)
+    x = layer_norm(params["ln_embed"], x, eps)
+
+    cross_mask = (
+        None if enc_mask is None else enc_mask.astype(jnp.bool_)[:, None, None, :]
+    )
+
+    def body(carry, xs):
+        h, ck, cv = carry
+        p, lidx, xk, xv = xs
+        r = h
+        if not post:
+            h = layer_norm(p["ln_self"], h, eps)
+        ap = p["self_attn"]
+        q = split_heads(dense(ap["q"], h) * (head_dim**-0.5), cfg.num_heads)
+        k_step, v_step = project_kv(ap, h, cfg.num_heads)
+        attn, ck, cv = decode_attention(q, k_step, v_step, ck, cv, lidx, index)
+        h = dense(ap["o"], merge_heads(attn.astype(h.dtype)))
+        h = r + h
+        if post:
+            h = layer_norm(p["ln_self"], h, eps)
+        r = h
+        if not post:
+            h = layer_norm(p["ln_cross"], h, eps)
+        h = mha_cross_grouped(
+            p["cross_attn"], h, xk, xv, cross_mask, cfg.num_heads, beams
+        )
+        h = r + h
+        if post:
+            h = layer_norm(p["ln_cross"], h, eps)
+        r = h
+        if not post:
+            h = layer_norm(p["ln_mlp"], h, eps)
+        h = r + dense(p["fc2"], act(dense(p["fc1"], h)))
+        if post:
+            h = layer_norm(p["ln_mlp"], h, eps)
+        return (h, ck, cv), None
+
+    L = cfg.num_layers
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body,
+        (x, cache.self_k, cache.self_v),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32),
+         cache.cross_k, cache.cross_v),
+    )
+    if cfg.use_final_ln:
+        x = layer_norm(params["final_ln"], x, eps)
+    new_cache = DecoderCache(
+        self_k=new_k, self_v=new_v,
+        cross_k=cache.cross_k, cross_v=cache.cross_v,
+        index=index + token_ids.shape[1],
+    )
+    return x, new_cache
+
+
 def decoder_step(
     params: Params,
     shared: Params,
@@ -196,6 +281,10 @@ def decoder_step(
     The self-attention cache is per (batch*beam) row; the cross-attention
     cache is per IMAGE (true batch) and shared across beams via grouped
     attention (mic_tpu/nn/attention.py mha_cross_grouped)."""
+    if _FUSED_DECODE:
+        return _decoder_step_fused(
+            params, shared, token_ids, cache, cfg, dtype, enc_mask, beams
+        )
     eps = cfg.layer_norm_eps
     act = ACTIVATIONS[cfg.activation]
     index = cache.index
