@@ -18,14 +18,15 @@ The kernel takes the whole stacked (L, B, T, H, Dh) cache plus the layer id
 
 Off-TPU the public wrapper falls back to exact XLA ops (CPU tests).
 
-STATUS: correctness-verified in interpret mode (tests/test_decode_attention.py)
-and integrated behind MIC_TPU_FUSED_DECODE=1, but the TPU compile currently
-fails in Mosaic ("unsupported shape cast"): splitting the tile-aligned
-(H*Dh//128, 128) view back into (H, Dh)=(16, 64) inside the kernel is an
-unsupported relayout.  The fix (round 2) is to keep ALL kernel math in the
-merged 128-lane layout: per-head score sums become a (128, heads_per_row)
-masked-sum matmul, probability broadcast becomes a 64-lane repeat, and the
-accumulator stays merged end-to-end — no shape casts anywhere.
+STATUS (measured): correct on real TPU at flagship shapes (bf16 tolerance,
+in-place column write lands, untouched layers preserved) after reworking all
+kernel math into the merged tile-aligned (H*Dh//128, 128) layout (per-head
+score sums = masked-sum MXU matmul, per-head scalars lane-broadcast with
+static slices — Mosaic rejects minor-dim shape casts).  END-TO-END IT LOSES:
+14.1 vs 88.5 captions/s/chip — the serialized per-chunk DMA round-trips and
+the scan-carry interaction cost far more than the cache-prefix savings.
+Kept behind MIC_TPU_FUSED_DECODE=1 as a documented reference; the XLA
+ys-threaded cache remains the default.
 """
 
 from __future__ import annotations
@@ -46,11 +47,19 @@ def _kernel(chunk, n_heads, head_dim, info_ref, q_ref, ks_ref, vs_ref, ck_in, cv
     # and the column write go through them (the input refs are not touched,
     # so the kernel is correct both under true aliasing and under interpret
     # mode's copy-on-alias emulation)
+    #
+    # ALL math stays in the tile-aligned merged (rows, cols=128) layout: a
+    # 128-lane row holds `hp = cols // head_dim` heads side by side. Per-head
+    # score sums are a (cols, hp) masked-sum matmul; per-head scalars are
+    # broadcast back to lanes with static slices + broadcasts. No shape casts
+    # of minor dims anywhere (Mosaic rejects those).
     del ck_in, cv_in
     l = info_ref[0]
     t = info_ref[1]
     i = pl.program_id(0)
     bb = q_ref.shape[0]
+    rows, cols = q_ref.shape[2], q_ref.shape[3]
+    hp = cols // head_dim
     b0 = i * bb
 
     # 1. write this step's K/V column into the cache (in-place, aliased)
@@ -63,18 +72,30 @@ def _kernel(chunk, n_heads, head_dim, info_ref, q_ref, ks_ref, vs_ref, ck_in, cv
     wk.start()
     wv.start()
 
-    q = q_ref[:].astype(jnp.float32).reshape(
-        q_ref.shape[0], 1, n_heads, head_dim
-    )                                          # (BB, 1, H, Dh)
+    q = q_ref[:]                               # (BB, 1, R, C), input dtype
     n_chunks = t // chunk + 1                  # chunks covering positions 0..t
+    # per-head lane-sum matrix: M[j, p] = 1 iff lane j belongs to head slot p
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cols, hp), 0)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (cols, hp), 1)
+    # same dtype as the product so the MXU dot accumulates in f32 from
+    # narrow inputs without materializing f32 chunk-sized temporaries
+    head_sum = (lane // head_dim == slot).astype(q_ref.dtype)   # (C, HP)
+
+    def lanes(x):
+        """(..., R, HP) per-head scalars -> (..., R, C) lane-broadcast."""
+        parts = [
+            jnp.broadcast_to(x[..., p : p + 1], x.shape[:-1] + (head_dim,))
+            for p in range(hp)
+        ]
+        return jnp.concatenate(parts, axis=-1) if hp > 1 else parts[0]
 
     def body(m_s, l_s, acc_s):
-        def get(slot, c, which):
+        def get(slot_, c, which):
             buf, src = (kbuf, ck_hbm) if which == 0 else (vbuf, cv_hbm)
             return pltpu.make_async_copy(
                 src.at[l, pl.ds(b0, bb), pl.ds(c * chunk, chunk)],
-                buf.at[slot],
-                sems.at[2 * which + slot],  # per-(kind, slot) semaphore
+                buf.at[slot_],
+                sems.at[2 * which + slot_],
             )
 
         wk.wait()
@@ -82,12 +103,12 @@ def _kernel(chunk, n_heads, head_dim, info_ref, q_ref, ks_ref, vs_ref, ck_in, cv
         get(0, 0, 0).start()
         get(0, 0, 1).start()
 
-        m_s[:] = jnp.full_like(m_s, NEG_INF)
-        l_s[:] = jnp.zeros_like(l_s)
-        acc_s[:] = jnp.zeros_like(acc_s)
+        m_s[:] = jnp.full_like(m_s, NEG_INF)       # (BB, 1, R, HP)
+        l_s[:] = jnp.zeros_like(l_s)               # (BB, 1, R, HP)
+        acc_s[:] = jnp.zeros_like(acc_s)           # (BB, 1, R, C)
 
         def step(c, carry):
-            slot = c % 2
+            slot_ = c % 2
             nxt = (c + 1) % 2
 
             @pl.when(c + 1 < n_chunks)
@@ -95,46 +116,41 @@ def _kernel(chunk, n_heads, head_dim, info_ref, q_ref, ks_ref, vs_ref, ck_in, cv
                 get(nxt, c + 1, 0).start()
                 get(nxt, c + 1, 1).start()
 
-            get(slot, c, 0).wait()
-            get(slot, c, 1).wait()
-            # static-index reads per parity (Mosaic: no >2D dynamic gather)
-            k = jax.lax.cond(slot == 0, lambda: kbuf[0], lambda: kbuf[1])
-            v = jax.lax.cond(slot == 0, lambda: vbuf[0], lambda: vbuf[1])
-            k = k.astype(jnp.float32).reshape(bb, chunk, n_heads, head_dim)
-            v = v.astype(jnp.float32).reshape(bb, chunk, n_heads, head_dim)
-            # scores: VPU mul + reduce over Dh -> (BB, H, 1, CT)
-            s = jnp.sum(q * k, axis=-1).transpose(0, 2, 1)[:, :, None, :]
-            pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-            s = jnp.where(pos <= t, s, NEG_INF)
+            get(slot_, c, 0).wait()
+            get(slot_, c, 1).wait()
+            k = jax.lax.cond(slot_ == 0, lambda: kbuf[0], lambda: kbuf[1])
+            v = jax.lax.cond(slot_ == 0, lambda: vbuf[0], lambda: vbuf[1])
 
-            m_prev = m_s[:]                       # (BB, H, 1, 1)
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            p = jnp.where(s <= NEG_INF / 2, 0.0, p)
-            alpha = jnp.exp(m_prev - m_new)
-            l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            # (BB,H,CT,1) * (BB,H,CT,Dh) summed over CT -> (BB,H,1,Dh)
-            # (reshape/expand_dims, not int-indexing: Mosaic lowers mixed
-            # advanced indexing as an unsupported >2D gather)
-            p_cols = jnp.expand_dims(p.reshape(p.shape[0], p.shape[1], -1), -1)
-            pv = jnp.expand_dims(
-                jnp.sum(p_cols * v.transpose(0, 2, 1, 3), axis=2), 2
+            prod = q * k                           # (BB, CT, R, C) input dtype
+            s_ = jax.lax.dot_general(              # (BB, CT, R, HP)
+                prod, head_sum, (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            acc_s[:] = acc_s[:] * alpha + pv
+            pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s_.shape, 1)
+            s_ = jnp.where(pos <= t, s_, NEG_INF)
+
+            m_prev = m_s[:]
+            m_new = jnp.maximum(m_prev, jnp.max(s_, axis=1, keepdims=True))
+            p = jnp.exp(s_ - m_new)
+            p = jnp.where(s_ <= NEG_INF / 2, 0.0, p)
+            alpha = jnp.exp(m_prev - m_new)        # (BB, 1, R, HP)
+            l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pv = jnp.sum(
+                lanes(p).astype(v.dtype) * v, axis=1, keepdims=True
+            ).astype(jnp.float32)                                # (BB, 1, R, C)
+            acc_s[:] = acc_s[:] * lanes(alpha) + pv
             m_s[:] = m_new
             return carry
 
         jax.lax.fori_loop(0, n_chunks, step, 0)
         safe = jnp.where(l_s[:] == 0.0, 1.0, l_s[:])
-        out = (acc_s[:] / safe).transpose(0, 2, 1, 3)   # (BB, 1, H, Dh)
-        o_ref[:] = out.reshape(o_ref.shape).astype(o_ref.dtype)
+        o_ref[:] = (acc_s[:] / lanes(safe)).astype(o_ref.dtype)
 
-    h, dh = n_heads, head_dim
     pl.run_scoped(
         body,
-        pltpu.VMEM((bb, h, 1, 1), jnp.float32),
-        pltpu.VMEM((bb, h, 1, 1), jnp.float32),
-        pltpu.VMEM((bb, h, 1, dh), jnp.float32),
+        pltpu.VMEM((bb, 1, rows, hp), jnp.float32),
+        pltpu.VMEM((bb, 1, rows, hp), jnp.float32),
+        pltpu.VMEM((bb, 1, rows, cols), jnp.float32),
     )
 
 
@@ -147,7 +163,7 @@ def decode_attention(
     layer_idx: jnp.ndarray,  # scalar int32
     index: jnp.ndarray,      # scalar int32 — position of the current token
     *,
-    chunk: int = 16,
+    chunk: int = 8,
     block_b: int = 64,
 ):
     """Returns (attn_out (B,1,H,Dh), cache_k, cache_v) with the step K/V
