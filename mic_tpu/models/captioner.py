@@ -244,7 +244,20 @@ class Captioner:
 
     @classmethod
     def from_pretrained(cls, directory: str, **kw) -> tuple["Captioner", Params]:
+        """Load a model directory — either mic_tpu's own format (config.json +
+        Orbax params) or a reference/HF fused checkpoint (config.json with
+        clip_vision_config/mbart_config + flax_model.msgpack), auto-detected.
+        Mirrors the reference's from_pretrained surface
+        (modeling_clip_vision_utils.py:119-396)."""
         from mic_tpu.io import checkpoint
+
+        if os.path.exists(os.path.join(directory, "flax_model.msgpack")):
+            from mic_tpu.io.hf_import import load_fused_checkpoint
+
+            config = CaptionerConfig.from_hf_json(
+                os.path.join(directory, "config.json")
+            )
+            return cls(config, **kw), load_fused_checkpoint(directory)
 
         config = CaptionerConfig.from_json(os.path.join(directory, "config.json"))
         model = cls(config, **kw)

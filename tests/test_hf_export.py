@@ -36,3 +36,21 @@ def test_export_import_roundtrip(tmp_path):
     assert reparsed.vision == config.vision
     assert reparsed.decoder.vocab_size == config.decoder.vocab_size
     assert reparsed.decoder.d_model == config.decoder.d_model
+
+
+def test_from_pretrained_autodetects_hf_format(tmp_path):
+    """Captioner.from_pretrained loads a reference-format checkpoint dir."""
+    config = CaptionerConfig.tiny()
+    model = Captioner(config)
+    params = model.init_params(jax.random.PRNGKey(3))
+    out = str(tmp_path / "hf_style")
+    export_hf_fused(params, config, out)
+
+    model2, params2 = Captioner.from_pretrained(out)
+    assert model2.config.decoder.vocab_size == config.decoder.vocab_size
+    a = jax.tree.leaves(params)
+    b = jax.tree.leaves(params2)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(
+            np.asarray(x, np.float32), np.asarray(y, np.float32)
+        )
