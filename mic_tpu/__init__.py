@@ -29,9 +29,25 @@ Package map (SURVEY.md §7):
 
 __version__ = "0.1.0"
 
-from mic_tpu.core.config import (  # noqa: F401
-    CaptionerConfig,
-    DecoderConfig,
-    VisionConfig,
-)
-from mic_tpu.models.captioner import Captioner  # noqa: F401
+# Lazy top-level API (PEP 562): `import mic_tpu` stays lightweight so data
+# workers (spawn pool) never pay the JAX import on boot.
+_API = {
+    "CaptionerConfig": "mic_tpu.core.config",
+    "DecoderConfig": "mic_tpu.core.config",
+    "VisionConfig": "mic_tpu.core.config",
+    "GenerationConfig": "mic_tpu.core.config",
+    "Captioner": "mic_tpu.models.captioner",
+    "MBartSeq2Seq": "mic_tpu.models.mbart_seq2seq",
+}
+
+
+def __getattr__(name):
+    if name in _API:
+        import importlib
+
+        return getattr(importlib.import_module(_API[name]), name)
+    raise AttributeError(f"module 'mic_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_API))

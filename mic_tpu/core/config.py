@@ -18,8 +18,6 @@ import dataclasses
 import json
 from typing import Any
 
-import jax.numpy as jnp
-
 # ---------------------------------------------------------------------------
 # helpers
 
@@ -186,6 +184,8 @@ class CaptionerConfig(_JsonMixin):
 
     @property
     def compute_dtype(self):
+        import jax.numpy as jnp  # deferred: config must import without JAX
+
         return jnp.dtype(self.dtype)
 
     @classmethod

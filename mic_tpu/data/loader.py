@@ -30,7 +30,16 @@ import numpy as np
 from mic_tpu.data.dataset import CaptionDataset
 from mic_tpu.data.images import load_image_safe
 from mic_tpu.data.tokenizer import TokenizerBase
-from mic_tpu.train.steps import shift_tokens_right
+
+
+def shift_tokens_right(input_ids: np.ndarray, pad_token_id: int) -> np.ndarray:
+    """Pad-prepend decoder shift (reference main.py:362-369). Defined here in
+    pure numpy so spawn workers never import the JAX-heavy training stack
+    (worker boot drops from seconds to milliseconds)."""
+    shifted = np.zeros_like(input_ids)
+    shifted[:, 1:] = input_ids[:, :-1]
+    shifted[:, 0] = pad_token_id
+    return shifted
 
 _WORKER = {}
 

@@ -49,6 +49,7 @@ from mic_tpu.ops.topk_lse import topk_log_probs
 
 _USE_PALLAS_TOPK = os.environ.get("MIC_TPU_PALLAS_TOPK", "0") == "1"
 _SEGMENTED_TOPK = int(os.environ.get("MIC_TPU_SEGMENTED_TOPK", "0"))
+_APPROX_TOPK = os.environ.get("MIC_TPU_APPROX_TOPK", "0") == "1"
 
 
 def _segmented_topk(logits: jnp.ndarray, k: int, seg: int):
@@ -115,7 +116,11 @@ def _candidates(
             # (the in-kernel K-step select-and-mask is VPU-bound), so opt-in
             return topk_log_probs(logits, k)
         lse = _logsumexp(logits.astype(jnp.float32))
-        if _SEGMENTED_TOPK > 0:
+        if _APPROX_TOPK:
+            # TPU-optimized approximate top-k (recall ~0.95 per candidate);
+            # opt-in quality/speed knob — exact selection is the default
+            vals, ids = jax.lax.approx_max_k(logits.astype(jnp.float32), k)
+        elif _SEGMENTED_TOPK > 0:
             vals, ids = _segmented_topk(logits, k, _SEGMENTED_TOPK)
         else:
             # top_k on raw (usually bf16) logits: monotone under the f32 cast.

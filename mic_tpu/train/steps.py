@@ -22,14 +22,11 @@ from mic_tpu.train.loss import label_smoothed_cross_entropy
 from mic_tpu.train.state import TrainState
 
 
-def shift_tokens_right(input_ids: np.ndarray, pad_token_id: int) -> np.ndarray:
-    """Pad-prepend shift (reference main.py:362-369): the training decoder
-    start token is PAD, while generation starts from EOS/lang-code — a quirky
-    but load-bearing asymmetry of the reference that we preserve."""
-    shifted = np.zeros_like(input_ids)
-    shifted[:, 1:] = input_ids[:, :-1]
-    shifted[:, 0] = pad_token_id
-    return shifted
+# Pad-prepend shift (reference main.py:362-369): the training decoder start
+# token is PAD, while generation starts from EOS/lang-code — a quirky but
+# load-bearing asymmetry of the reference that we preserve. Implementation
+# lives in the (JAX-free) loader module so data workers stay lightweight.
+from mic_tpu.data.loader import shift_tokens_right  # noqa: F401,E402
 
 
 def make_train_step(
