@@ -191,13 +191,19 @@ class Trainer:
             in_shardings=(self.shardings.params, self.batch_shard, None),
             static_argnums=(),
         )
-        def generate_step(params, pixels_u8, start_token):
+        def generate_step(params, pixels_u8, lang_token):
             pixels = maybe_preprocess(pixels_u8, image_size, dtype)
+            # decode training-consistently: PAD start token (the pad-prepend
+            # shift's position 0) + language code forced at position 1. The
+            # reference mixed three start conventions between training and its
+            # two eval paths (main.py:820 vs evaluation.py:80-107); matching
+            # the training distribution measurably improves BLEU.
             out = model.generate(
                 params, pixels,
                 max_length=self.dc.max_seq_length,
                 num_beams=4,
-                decoder_start_token_id=start_token,
+                decoder_start_token_id=self.mc.decoder.pad_token_id,
+                forced_bos_token_id=lang_token,
             )
             return out.sequences
 
