@@ -35,6 +35,14 @@ def main(argv=None):
     parser.add_argument("--max_length", type=int, default=64)
     parser.add_argument("--decode_size", type=int, default=256)
     parser.add_argument("--output_json", default=None)
+    parser.add_argument(
+        "--start_convention", default="pad",
+        choices=["pad", "eos", "lang"],
+        help="decoder start for generation: 'pad' (training-consistent: PAD "
+             "start + language forced at position 1, best BLEU), 'eos' "
+             "(reference evaluation.py: EOS start + forced language BOS), "
+             "'lang' (reference main.py eval: language code as start token)",
+    )
     args = parser.parse_args(argv)
 
     model, params = Captioner.from_pretrained(args.model_dir)
@@ -45,14 +53,23 @@ def main(argv=None):
     tokenizer = load_tokenizer(tok_path)
     dataset = CaptionDataset(args.tsv_path, args.images_dir)
 
+    dec = model.config.decoder
+
     @jax.jit
-    def generate(params, pixels_u8, start_token):
+    def generate(params, pixels_u8, lang_token):
         pixels = maybe_preprocess(
             pixels_u8, model.config.vision.image_size, model.dtype
         )
+        kw = {
+            "pad": dict(decoder_start_token_id=dec.pad_token_id,
+                        forced_bos_token_id=lang_token),
+            "eos": dict(decoder_start_token_id=dec.eos_token_id,
+                        forced_bos_token_id=lang_token),
+            "lang": dict(decoder_start_token_id=lang_token),
+        }[args.start_convention]
         return model.generate(
             params, pixels, max_length=args.max_length,
-            num_beams=args.num_beams, decoder_start_token_id=start_token,
+            num_beams=args.num_beams, **kw,
         ).sequences
 
     results = {}
