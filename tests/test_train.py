@@ -149,3 +149,25 @@ def test_loss_decreases_overfit(tmp_path):
         losses.append(float(m["loss"]))
     trainer.ckpt.close()
     assert losses[-1] < losses[0], losses
+
+
+def test_remat_matches_no_remat(tmp_path):
+    """remat='full' must change memory, not math: identical first-step loss."""
+    from mic_tpu.train.trainer import Trainer
+
+    train_tsv, val_tsv, img_dir = make_synthetic_dataset(tmp_path, n=8)
+    losses = {}
+    for remat in ("none", "full"):
+        mc, dc, tc = tiny_configs(
+            tmp_path, train_tsv, val_tsv, img_dir, num_epochs=1, remat=remat,
+            output_dir=str(tmp_path / f"run_{remat}"),
+        )
+        trainer = Trainer(mc, dc, tc)
+        loader, _ = trainer.make_loaders()
+        trainer.build(10)
+        state = trainer._init_state()
+        batch = next(loader.epoch_iterator(epoch=0))
+        _, m = trainer.p_train_step(state, trainer._put_batch(batch))
+        losses[remat] = float(m["loss"])
+        trainer.ckpt.close()
+    np.testing.assert_allclose(losses["none"], losses["full"], rtol=1e-6)
