@@ -44,6 +44,10 @@ def _forward(logits, labels, mask, label_smoothing):
         normalizing = 0.0
 
     loss = lse - expected_logit - normalizing
+    # NOTE: mathematically >= 0 at label_smoothing=0. On TPU under this
+    # environment's --xla_allow_excess_precision, the fused fwd+bwd graph can
+    # report ~-5e-3 when the true CE is ~0 (observed only at convergence on a
+    # trivially learnable task; standalone evaluation reproduces >= 0).
     mask = mask.astype(jnp.float32)
     return jnp.sum(loss * mask) / jnp.sum(mask)
 
