@@ -5,8 +5,12 @@ Measures end-to-end on-device work per caption: uint8 host batch -> device
 preprocess (matmul bicubic resize + normalize) -> vision encoder -> beam-4
 mBART decode to max_length=64.  Random weights (throughput is weight-agnostic).
 
+Also measures the honest serving p50: a single-image beam-4 request
+(batch=1), reported inside the same JSON line as p50_latency_ms_batch1.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "captions/sec/chip", "vs_baseline": R}
+  {"metric": ..., "value": N, "unit": "captions/sec/chip", "vs_baseline": R,
+   "p50_latency_ms_batch1": L, ...}
 vs_baseline is measured against the north-star target of 5000 captions/sec on
 a v5e-8 (= 625/chip), since the reference repo published no throughput numbers
 (BASELINE.json "published": {}).
@@ -15,6 +19,7 @@ a v5e-8 (= 625/chip), since the reference repo published no throughput numbers
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -22,17 +27,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = int(__import__("os").environ.get("BENCH_BATCH", "64"))
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 MAX_LENGTH = 64
 NUM_BEAMS = 4
 TARGET_PER_CHIP = 5000 / 8  # north-star: 5k captions/s on v5e-8
+SKIP_LATENCY = os.environ.get("BENCH_SKIP_LATENCY", "") == "1"
+
+
+def _measure(fn, params, batches, reps):
+    """Median wall time over reps distinct-input calls, host readback each
+    rep: the TPU relay on this machine dedupes same-input executions and
+    block_until_ready can return before execution finishes — only a readback
+    of fresh results is honest."""
+    times = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(fn(params, batches[r]))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
 
 
 def main() -> None:
     from mic_tpu import Captioner, CaptionerConfig
     from mic_tpu.ops.image_prep import maybe_preprocess
 
-    n_chips = jax.device_count()
     config = CaptionerConfig.clip_vit_b32_mbart50(dtype="bfloat16")
     model = Captioner(config)
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
@@ -48,37 +66,52 @@ def main() -> None:
         ).sequences
 
     rng = np.random.default_rng(0)
-    # distinct batch per rep + host readback per rep: the TPU relay on this
-    # machine dedupes same-input executions and block_until_ready can return
-    # before execution finishes — only a readback of fresh results is honest.
-    reps = 3
-    batches = [
-        jnp.asarray(rng.integers(0, 255, size=(BATCH, 256, 256, 3), dtype=np.uint8))
-        for _ in range(reps + 1)
-    ]
 
+    def make_batches(batch, n):
+        return [
+            jnp.asarray(rng.integers(0, 255, size=(batch, 256, 256, 3), dtype=np.uint8))
+            for _ in range(n)
+        ]
+
+    # -- throughput: batch=BATCH --------------------------------------------
+    reps = 3
+    batches = make_batches(BATCH, reps + 1)
     t0 = time.perf_counter()
     np.asarray(caption(params, batches[0]))
     print(f"compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    dt = _measure(caption, params, batches[1:], reps)
 
-    t0 = time.perf_counter()
-    for r in range(reps):
-        np.asarray(caption(params, batches[r + 1]))
-    dt = (time.perf_counter() - t0) / reps
-
+    # the jitted fn is unsharded and executes on ONE device regardless of
+    # how many are visible, so per-chip = per-that-one-chip
     captions_per_sec = BATCH / dt
-    per_chip = captions_per_sec / n_chips
+    per_chip = captions_per_sec / 1
     print(
         f"batch={BATCH} beams={NUM_BEAMS} max_len={MAX_LENGTH} "
-        f"chips={n_chips} step={dt*1e3:.1f}ms p50_latency~{dt*1e3:.1f}ms",
+        f"devices_used=1 step={dt*1e3:.1f}ms",
         file=sys.stderr,
     )
-    print(json.dumps({
+
+    # -- serving p50: batch=1 -------------------------------------------------
+    p50_ms = None
+    if not SKIP_LATENCY:
+        lat_reps = 5
+        lat_batches = make_batches(1, lat_reps + 1)
+        t0 = time.perf_counter()
+        np.asarray(caption(params, lat_batches[0]))
+        print(f"latency compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        p50 = _measure(caption, params, lat_batches[1:], lat_reps)
+        p50_ms = round(p50 * 1e3, 1)
+        print(f"p50 single-image beam-4 latency: {p50_ms}ms", file=sys.stderr)
+
+    out = {
         "metric": "captions_per_sec_per_chip_beam4",
         "value": round(per_chip, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(per_chip / TARGET_PER_CHIP, 3),
-    }))
+    }
+    if p50_ms is not None:
+        out["p50_latency_ms_batch1"] = p50_ms
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

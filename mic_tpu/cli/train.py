@@ -75,6 +75,11 @@ def build_configs(argv=None):
 
 def main(argv=None):
     model_config, data_config, train_config, args = build_configs(argv)
+    # multi-host: must run before the first backend touch (Trainer builds a
+    # mesh over jax.devices()). No-op unless the env opts in.
+    from mic_tpu.parallel.distributed import initialize_from_env
+
+    initialize_from_env()
     from mic_tpu.train.trainer import Trainer
 
     trainer = Trainer(

@@ -253,9 +253,29 @@ class CaptionerConfig(_JsonMixin):
             eos_token_id=mb.get("eos_token_id", 2),
             decoder_start_token_id=mb.get("decoder_start_token_id", 2),
         )
+        # The reference pulls every generate default from the *checkpoint's*
+        # nested mbart_config (generation_clip_vision_utils.py:205-229), so an
+        # imported checkpoint must decode with its own published settings.
+        # Absent keys fall back to the HF PretrainedConfig defaults the
+        # reference would have seen (max_length=20, top_k=50, ...).
+        generation = GenerationConfig(
+            max_length=mb.get("max_length", 20),
+            min_length=mb.get("min_length", 0),
+            num_beams=mb.get("num_beams", 1),
+            do_sample=mb.get("do_sample", False),
+            temperature=mb.get("temperature", 1.0),
+            top_k=mb.get("top_k", 50),
+            top_p=mb.get("top_p", 1.0),
+            length_penalty=mb.get("length_penalty", 1.0),
+            early_stopping=mb.get("early_stopping", False),
+            decoder_start_token_id=mb.get("decoder_start_token_id"),
+            forced_bos_token_id=mb.get("forced_bos_token_id"),
+            forced_eos_token_id=mb.get("forced_eos_token_id", 2),
+        )
         return cls(
             vision=vision,
             decoder=decoder,
+            generation=generation,
             tie_word_embeddings=d.get("tie_word_embeddings", True),
         )
 

@@ -176,8 +176,23 @@ class CaptionLoader:
                 self.next_batch += 1
                 yield _make_batch(b)
         else:
+            # bounded decode-ahead: keep (num_workers + prefetch) batches in
+            # flight so every worker stays busy AND up to `prefetch` finished
+            # batches sit ready while the device step runs, without imap's
+            # unbounded task queue growing an epoch of decoded images in RAM
             pool = self._get_pool()
-            for out in pool.imap(_make_batch, batches, chunksize=1):
+            from collections import deque
+
+            window = self.num_workers + max(1, self.prefetch)
+            pending: deque = deque()
+            for b in batches:
+                pending.append(pool.apply_async(_make_batch, (b,)))
+                if len(pending) >= window:
+                    out = pending.popleft().get()
+                    self.next_batch += 1
+                    yield out
+            while pending:
+                out = pending.popleft().get()
                 self.next_batch += 1
                 yield out
         self.epoch += 1

@@ -53,7 +53,7 @@ class TrainCheckpointManager:
     position (epoch, batches consumed) so the input pipeline can skip ahead.
     """
 
-    def __init__(self, output_dir: str, max_to_keep: int = 6):
+    def __init__(self, output_dir: str, max_to_keep: Optional[int] = 6):
         self.directory = os.path.join(_abs(output_dir), "checkpoints")
         self.manager = ocp.CheckpointManager(
             self.directory,
@@ -73,6 +73,25 @@ class TrainCheckpointManager:
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
+
+    @classmethod
+    def open(cls, path: str) -> tuple["TrainCheckpointManager", Optional[int]]:
+        """Open an existing checkpoint tree for restore, accepting any of:
+        a run's output_dir (containing ``checkpoints/``), the ``checkpoints``
+        dir itself, or a specific ``checkpoints/<step>`` dir. Returns
+        (manager, step) where step is pinned only for the last form."""
+        path = _abs(path)
+        base = os.path.basename(path)
+        step: Optional[int] = None
+        if base.isdigit() and os.path.basename(os.path.dirname(path)) == "checkpoints":
+            step = int(base)
+            path = os.path.dirname(path)
+        if os.path.basename(path) == "checkpoints":
+            path = os.path.dirname(path)
+        if not os.path.isdir(os.path.join(path, "checkpoints")):
+            raise FileNotFoundError(f"no checkpoints/ directory under {path}")
+        # rotation must never delete from a tree we're only reading
+        return cls(path, max_to_keep=None), step
 
     def restore(self, state_template: Any, step: Optional[int] = None):
         step = step if step is not None else self.manager.latest_step()

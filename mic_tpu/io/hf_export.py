@@ -127,7 +127,7 @@ def export_hf_fused(params: Params, config: CaptionerConfig, directory: str) -> 
     with open(os.path.join(directory, "flax_model.msgpack"), "wb") as f:
         f.write(msgpack_serialize(tree))
 
-    v, d = config.vision, config.decoder
+    v, d, g = config.vision, config.decoder, config.generation
     hf_config = {
         "model_type": "clip-vision-mbart",
         "is_encoder_decoder": True,
@@ -156,6 +156,21 @@ def export_hf_fused(params: Params, config: CaptionerConfig, directory: str) -> 
             "bos_token_id": d.bos_token_id,
             "eos_token_id": d.eos_token_id,
             "decoder_start_token_id": d.decoder_start_token_id,
+            # generate defaults: the reference pulls these from the loaded
+            # checkpoint's mbart_config (generation_clip_vision_utils.py:
+            # 205-229), so exporting them makes the reference decode our
+            # checkpoints with the settings they were validated under.
+            "max_length": g.max_length,
+            "min_length": g.min_length,
+            "num_beams": g.num_beams,
+            "do_sample": g.do_sample,
+            "temperature": g.temperature,
+            "top_k": g.top_k,
+            "top_p": g.top_p,
+            "length_penalty": g.length_penalty,
+            "early_stopping": g.early_stopping,
+            "forced_bos_token_id": g.forced_bos_token_id,
+            "forced_eos_token_id": g.forced_eos_token_id,
         },
     }
     with open(os.path.join(directory, "config.json"), "w") as f:

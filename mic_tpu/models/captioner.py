@@ -30,6 +30,34 @@ from mic_tpu.models import clip_vit, mbart_decoder
 from mic_tpu.nn.cache import DecoderCache, init_cache
 from mic_tpu.nn.layers import Params, dense, init_dense, init_embed
 
+from typing import NamedTuple
+
+
+class EncodeOutput(NamedTuple):
+    """`encode` with introspection: last_hidden_state is the PROJECTED
+    (B, 1+N, d_model) states the decoder cross-attends to; hidden_states /
+    attentions are the vision tower's stacked per-layer arrays (reference
+    surface: modeling_clip_vision_mbart.py:284-338 encode outputs)."""
+
+    last_hidden_state: jnp.ndarray
+    hidden_states: Optional[jnp.ndarray] = None
+    attentions: Optional[jnp.ndarray] = None
+
+
+class CaptionerOutput(NamedTuple):
+    """Structured `__call__` output (reference surface: FlaxCLIPVisionMBart-
+    ForConditionalGenerationModule.__call__ with output_attentions /
+    output_hidden_states, modeling_clip_vision_mbart.py:447-510). All layer
+    axes are stacked arrays (jit-friendly), not tuples."""
+
+    logits: jnp.ndarray
+    encoder_last_hidden_state: Optional[jnp.ndarray] = None
+    encoder_hidden_states: Optional[jnp.ndarray] = None
+    encoder_attentions: Optional[jnp.ndarray] = None
+    decoder_hidden_states: Optional[jnp.ndarray] = None
+    decoder_attentions: Optional[jnp.ndarray] = None
+    cross_attentions: Optional[jnp.ndarray] = None
+
 
 class Captioner:
     def __init__(self, config: CaptionerConfig, attn_impl: str = "xla", remat: bool = False):
@@ -64,15 +92,34 @@ class Captioner:
 
     # -- forward ------------------------------------------------------------
 
-    def encode(self, params: Params, pixel_values: jnp.ndarray) -> jnp.ndarray:
+    def encode(
+        self,
+        params: Params,
+        pixel_values: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+        output_hidden_states: bool = False,
+        output_attentions: bool = False,
+    ):
         """pixel_values (B, H, W, 3) float -> projected encoder states
-        (B, 1+num_patches, d_model).  (The reference's separate `encode` had an
-        int32-cast bug, modeling_clip_vision_mbart.py:330 — fixed by design.)"""
-        hidden = clip_vit.apply_vision(
+        (B, 1+num_patches, d_model), or an EncodeOutput with the vision
+        tower's introspection arrays.  (The reference's separate `encode` had
+        an int32-cast bug, modeling_clip_vision_mbart.py:330 — fixed by
+        design.)"""
+        out = clip_vit.apply_vision(
             params["vision"], pixel_values, self.config.vision,
-            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+            dtype=self.dtype, rng=rng, attn_impl=self.attn_impl,
+            remat=self.remat,
+            output_hidden_states=output_hidden_states,
+            output_attentions=output_attentions,
         )
-        return dense(params["proj"], hidden, self.dtype)
+        if not (output_hidden_states or output_attentions):
+            return dense(params["proj"], out, self.dtype)
+        return EncodeOutput(
+            last_hidden_state=dense(params["proj"], out.last_hidden_state,
+                                    self.dtype),
+            hidden_states=out.hidden_states,
+            attentions=out.attentions,
+        )
 
     def decode_hidden(
         self,
@@ -111,11 +158,43 @@ class Captioner:
         decoder_input_ids: jnp.ndarray,
         decoder_attention_mask: jnp.ndarray,
         rng: Optional[jax.Array] = None,
-    ) -> jnp.ndarray:
-        """Teacher-forced forward -> logits (B, T, vocab)."""
-        enc_states = self.encode(params, pixel_values)
-        return self.decode_train(
-            params, enc_states, decoder_input_ids, decoder_attention_mask, rng
+        output_hidden_states: bool = False,
+        output_attentions: bool = False,
+    ):
+        """Teacher-forced forward -> logits (B, T, vocab), or a
+        CaptionerOutput when introspection outputs are requested."""
+        # distinct stream from the decoder's per-layer fold_in(rng, idx)
+        vision_rng = (
+            jax.random.fold_in(rng, 0x5649) if rng is not None else None
+        )
+        if not (output_hidden_states or output_attentions):
+            enc_states = self.encode(params, pixel_values, rng=vision_rng)
+            return self.decode_train(
+                params, enc_states, decoder_input_ids, decoder_attention_mask,
+                rng,
+            )
+        enc = self.encode(
+            params, pixel_values, rng=vision_rng,
+            output_hidden_states=output_hidden_states,
+            output_attentions=output_attentions,
+        )
+        dec = mbart_decoder.apply_decoder(
+            params["decoder"], params["shared"],
+            decoder_input_ids, decoder_attention_mask,
+            enc.last_hidden_state, None, self.config.decoder,
+            dtype=self.dtype, rng=rng, attn_impl=self.attn_impl,
+            remat=self.remat,
+            output_hidden_states=output_hidden_states,
+            output_attentions=output_attentions,
+        )
+        return CaptionerOutput(
+            logits=self.lm_logits(params, dec.last_hidden_state),
+            encoder_last_hidden_state=enc.last_hidden_state,
+            encoder_hidden_states=enc.hidden_states,
+            encoder_attentions=enc.attentions,
+            decoder_hidden_states=dec.hidden_states,
+            decoder_attentions=dec.attentions,
+            cross_attentions=dec.cross_attentions,
         )
 
     def lm_logits(self, params: Params, hidden: jnp.ndarray) -> jnp.ndarray:

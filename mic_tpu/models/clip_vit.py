@@ -15,7 +15,7 @@ TPU-first design choices:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,18 @@ from mic_tpu.nn.layers import (
     layer_norm,
 )
 from mic_tpu.nn.stacked import init_stacked, scan_apply
+
+
+class VisionOutput(NamedTuple):
+    """Structured tower output (reference surface: output_hidden_states /
+    output_attentions of FlaxCLIPVisionModule, consumed through
+    modeling_clip_vision_mbart.py:447-510). Layer axes are stacked arrays,
+    not tuples — jit/scan friendly: hidden_states (L+1, B, T, H) with the
+    embeddings output first, attentions (L, B, heads, T, T)."""
+
+    last_hidden_state: jnp.ndarray
+    hidden_states: Optional[jnp.ndarray] = None
+    attentions: Optional[jnp.ndarray] = None
 
 
 def patchify(pixels: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -84,9 +96,15 @@ def apply_vision(
     rng: Optional[jax.Array] = None,
     attn_impl: str = "xla",
     remat: bool = False,
-) -> jnp.ndarray:
-    """pixels (B, image_size, image_size, 3) -> last_hidden_state (B, 1+N, H)."""
-    del rng  # CLIP vision tower has no hidden dropout
+    output_hidden_states: bool = False,
+    output_attentions: bool = False,
+):
+    """pixels (B, image_size, image_size, 3) -> last_hidden_state (B, 1+N, H),
+    or a VisionOutput when introspection outputs are requested."""
+    # no hidden dropout in CLIP/ViT towers; attention-weight dropout only
+    # (HF FlaxCLIPAttention config.attention_dropout semantics)
+    if cfg.attention_dropout == 0.0:
+        rng = None
     act = ACTIVATIONS[cfg.hidden_act]
     eps = cfg.layer_norm_eps
 
@@ -104,20 +122,41 @@ def apply_vision(
     if cfg.use_pre_ln:
         x = layer_norm(params["pre_ln"], x, eps)
 
+    embeddings = x
+
     def layer(h, p, idx, _):
-        del idx
+        lrng = jax.random.fold_in(rng, idx) if rng is not None else None
+        ys = {}
         r = h
         h = layer_norm(p["ln1"], h, eps)
-        h = r + mha(p["attn"], h, h, None, cfg.num_heads, impl=attn_impl)
+        h = mha(p["attn"], h, h, None, cfg.num_heads, impl=attn_impl,
+                dropout_rate=cfg.attention_dropout, dropout_rng=lrng,
+                return_weights=output_attentions)
+        if output_attentions:
+            h, ys["attn"] = h
+        h = r + h
         r = h
         h = layer_norm(p["ln2"], h, eps)
         h = r + dense(p["fc2"], act(dense(p["fc1"], h)))
-        return h, None
+        if output_hidden_states:
+            ys["hidden"] = h
+        return h, ys
 
-    x, _ = scan_apply(layer, x, params["layers"], remat=remat)
+    x, ys = scan_apply(layer, x, params["layers"], remat=remat)
     if cfg.final_ln_output:  # ViT-style towers layernorm the whole output
         x = layer_norm(params["post_ln"], x, eps)
-    return x  # CLIP-style towers: post_ln applies only to the pooled CLS path
+    # CLIP-style towers: post_ln applies only to the pooled CLS path
+    if not (output_hidden_states or output_attentions):
+        return x
+    return VisionOutput(
+        last_hidden_state=x,
+        # HF convention: embeddings output + every layer's output (L+1, ...)
+        hidden_states=(
+            jnp.concatenate([embeddings[None], ys["hidden"]])
+            if output_hidden_states else None
+        ),
+        attentions=ys["attn"] if output_attentions else None,
+    )
 
 
 def pooled_output(params: Params, last_hidden: jnp.ndarray, cfg: VisionConfig) -> jnp.ndarray:

@@ -16,7 +16,7 @@ TPU-first design:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,20 @@ from mic_tpu.nn.stacked import init_stacked, scan_apply
 import os
 
 _FUSED_DECODE = os.environ.get("MIC_TPU_FUSED_DECODE", "0") == "1"
+
+
+class DecoderTowerOutput(NamedTuple):
+    """Structured decoder output (reference surface: output_hidden_states /
+    output_attentions of FlaxMBartDecoder through
+    modeling_clip_vision_mbart.py:447-510). Layer axes are stacked arrays:
+    hidden_states (L+1, B, T, D) — embeddings output first, final entry
+    post-final-LN like HF mBART; attentions / cross_attentions
+    (L, B, heads, T, ·)."""
+
+    last_hidden_state: jnp.ndarray
+    hidden_states: Optional[jnp.ndarray] = None
+    attentions: Optional[jnp.ndarray] = None
+    cross_attentions: Optional[jnp.ndarray] = None
 
 
 def _init_layer(key, cfg: DecoderConfig) -> Params:
@@ -105,8 +119,11 @@ def apply_decoder(
     attn_impl: str = "xla",
     remat: bool = False,
     position_ids: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """Teacher-forced full-sequence decode -> hidden states (B, T, d_model)."""
+    output_hidden_states: bool = False,
+    output_attentions: bool = False,
+):
+    """Teacher-forced full-sequence decode -> hidden states (B, T, d_model),
+    or a DecoderTowerOutput when introspection outputs are requested."""
     b, t = input_ids.shape
     eps = cfg.layer_norm_eps
     act = ACTIVATIONS[cfg.activation]
@@ -126,20 +143,30 @@ def apply_decoder(
     enc_states = enc_states.astype(dtype)
 
     post = cfg.post_norm
+    embeddings = x
 
     def layer(h, p, idx, _):
         lrng = jax.random.fold_in(rng, idx) if rng is not None else None
+        ys = {}
         r = h
         if not post:
             h = layer_norm(p["ln_self"], h, eps)
-        h = mha(p["self_attn"], h, h, self_mask, cfg.num_heads, impl=attn_impl)
+        h = mha(p["self_attn"], h, h, self_mask, cfg.num_heads, impl=attn_impl,
+                dropout_rate=cfg.attention_dropout, dropout_rng=_site(lrng, 5),
+                return_weights=output_attentions)
+        if output_attentions:
+            h, ys["attn"] = h
         h = r + dropout(h, cfg.dropout, _site(lrng, 1))
         if post:
             h = layer_norm(p["ln_self"], h, eps)
         r = h
         if not post:
             h = layer_norm(p["ln_cross"], h, eps)
-        h = mha(p["cross_attn"], h, enc_states, cross_mask, cfg.num_heads)
+        h = mha(p["cross_attn"], h, enc_states, cross_mask, cfg.num_heads,
+                dropout_rate=cfg.attention_dropout, dropout_rng=_site(lrng, 6),
+                return_weights=output_attentions)
+        if output_attentions:
+            h, ys["cross_attn"] = h
         h = r + dropout(h, cfg.dropout, _site(lrng, 2))
         if post:
             h = layer_norm(p["ln_cross"], h, eps)
@@ -152,12 +179,26 @@ def apply_decoder(
         h = r + dropout(h, cfg.dropout, _site(lrng, 4))
         if post:
             h = layer_norm(p["ln_mlp"], h, eps)
-        return h, None
+        if output_hidden_states:
+            ys["hidden"] = h
+        return h, ys
 
-    x, _ = scan_apply(layer, x, params["layers"], remat=remat)
+    x, ys = scan_apply(layer, x, params["layers"], remat=remat)
     if cfg.use_final_ln:
         x = layer_norm(params["final_ln"], x, eps)
-    return x
+    if not (output_hidden_states or output_attentions):
+        return x
+    hidden_states = None
+    if output_hidden_states:
+        hidden_states = jnp.concatenate([embeddings[None], ys["hidden"]])
+        if cfg.use_final_ln:  # HF mBART reports the final entry post-LN
+            hidden_states = hidden_states.at[-1].set(x)
+    return DecoderTowerOutput(
+        last_hidden_state=x,
+        hidden_states=hidden_states,
+        attentions=ys["attn"] if output_attentions else None,
+        cross_attentions=ys["cross_attn"] if output_attentions else None,
+    )
 
 
 def _site(rng: Optional[jax.Array], site: int) -> Optional[jax.Array]:

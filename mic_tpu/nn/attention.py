@@ -43,12 +43,23 @@ def mha(
     mask: Optional[jnp.ndarray],
     num_heads: int,
     impl: str = "xla",
-) -> jnp.ndarray:
-    """Full-sequence attention: self-attention when kv_states is x."""
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    return_weights: bool = False,
+):
+    """Full-sequence attention: self-attention when kv_states is x.
+    With return_weights, returns (out, post-softmax weights (B,H,Tq,Tk))."""
     head_dim = x.shape[-1] // num_heads
     q = split_heads(dense(params["q"], x) * (head_dim**-0.5), num_heads)
     k, v = project_kv(params, kv_states, num_heads, x.dtype)
-    out = dot_product_attention(q, k, v, mask=mask, impl=impl)
+    out = dot_product_attention(
+        q, k, v, mask=mask, impl=impl,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+        return_weights=return_weights,
+    )
+    if return_weights:
+        out, weights = out
+        return dense(params["o"], merge_heads(out)), weights
     return dense(params["o"], merge_heads(out))
 
 

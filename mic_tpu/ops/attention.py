@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 _NEG_INF = jnp.finfo(jnp.float32).min
@@ -29,15 +30,28 @@ def dot_product_attention(
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     impl: str = "xla",
-) -> jnp.ndarray:
-    if impl == "pallas":
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    return_weights: bool = False,
+):
+    # attention-weight dropout (HF FlaxMBartAttention / FlaxCLIPAttention
+    # semantics: inverted dropout on the post-softmax weights). The flash
+    # kernel never materializes the score matrix, so an active dropout rate
+    # or a weights request falls back to XLA — both only arise at configs
+    # where the (Tq, Tk) matrix fits on chip anyway.
+    active_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    if impl == "pallas" and not active_dropout and not return_weights:
         from mic_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, mask=mask)
-    return _xla_attention(q, k, v, mask)
+    return _xla_attention(
+        q, k, v, mask, dropout_rate if active_dropout else 0.0, dropout_rng,
+        return_weights,
+    )
 
 
-def _xla_attention(q, k, v, mask):
+def _xla_attention(q, k, v, mask, dropout_rate=0.0, dropout_rng=None,
+                   return_weights=False):
     dtype = q.dtype
     # (B, H, Tq, Tk) scores in f32 so bf16 runs keep a stable softmax
     scores = jnp.einsum(
@@ -48,4 +62,10 @@ def _xla_attention(q, k, v, mask):
     weights = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
     weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
     weights = weights.astype(dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", weights, v, preferred_element_type=dtype)
+    if dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0).astype(dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v, preferred_element_type=dtype)
+    if return_weights:
+        return out, weights
+    return out

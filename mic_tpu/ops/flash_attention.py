@@ -141,7 +141,12 @@ def _flash_bwd(block_q, block_k, res, do):
     s = jnp.einsum("bqd,bkd->bqk", q32, k32, preferred_element_type=jnp.float32)
     if bias is not None:
         s = s + jnp.repeat(bias, s.shape[0] // bias.shape[0], axis=0)
+    # mirror the forward's `safe` handling: fully-masked query rows produce
+    # exact-zero output, so they must get exact-zero gradients too — a plain
+    # softmax over all-NEG_INF rows would give uniform weights and leak
+    # nonzero dq/dk/dv through padded rows.
     p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(s <= NEG_INF / 2, 0.0, p)
     do32 = do.astype(jnp.float32)
     dv = jnp.einsum("bqk,bqd->bkd", p, do32)
     dp = jnp.einsum("bqd,bkd->bqk", do32, v32)

@@ -129,11 +129,19 @@ class Trainer:
 
         label_smoothing = tc.label_smoothing
 
-        def compute_loss(params, pixels, batch, rng):
+        def compute_loss(params, pixels, batch, rng, loss_mask=None):
+            # loss_mask defaults to the attention mask; eval passes a version
+            # with padded examples zeroed (the model still sees the real
+            # attention mask so no row is fully masked out of the softmax).
+            if loss_mask is None:
+                loss_mask = batch["decoder_attention_mask"]
             if tc.fused_ce and tc.ce_chunk > 0:
                 from mic_tpu.ops.fused_ce import fused_lm_loss
 
-                enc = model.encode(params, pixels)
+                vision_rng = (
+                    jax.random.fold_in(rng, 0x5649) if rng is not None else None
+                )
+                enc = model.encode(params, pixels, rng=vision_rng)
                 hidden = model.decode_hidden(
                     params, enc, batch["decoder_input_ids"],
                     batch["decoder_attention_mask"], rng,
@@ -141,15 +149,14 @@ class Trainer:
                 return fused_lm_loss(
                     hidden, params["shared"]["embedding"],
                     params["final_logits_bias"], batch["labels"],
-                    batch["decoder_attention_mask"], label_smoothing, tc.ce_chunk,
+                    loss_mask, label_smoothing, tc.ce_chunk,
                 )
             logits = model(
                 params, pixels, batch["decoder_input_ids"],
                 batch["decoder_attention_mask"], rng=rng,
             )
             return label_smoothed_cross_entropy(
-                logits, batch["labels"], batch["decoder_attention_mask"],
-                label_smoothing,
+                logits, batch["labels"], loss_mask, label_smoothing,
             )
 
         def train_step(state: TrainState, batch):
@@ -178,8 +185,11 @@ class Trainer:
 
         def eval_step(params, batch):
             pixels = maybe_preprocess(batch["pixel_values"], image_size, dtype)
-            loss = compute_loss(params, pixels, batch, None)
-            ntok = jnp.sum(batch["decoder_attention_mask"])
+            loss_mask = (
+                batch["decoder_attention_mask"] * batch["loss_weight"][:, None]
+            )
+            loss = compute_loss(params, pixels, batch, None, loss_mask=loss_mask)
+            ntok = jnp.sum(loss_mask)
             return {"loss": loss, "ntok": ntok}
 
         self.p_eval_step = jax.jit(
@@ -212,11 +222,26 @@ class Trainer:
     # -- state / resume --------------------------------------------------------
 
     def init_or_resume(self, train_loader: CaptionLoader):
-        if self.tc.resume_from is not None or self.ckpt.latest_step() is not None:
-            template = jax.tree.map(
-                lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
-                self._state_shape, self.shardings,
-            )
+        """Resume preference order: an explicit ``resume_from`` path (another
+        run's output_dir / checkpoints dir / specific step dir — reference
+        main.py:332-346 was dead code for this), then this run's own latest
+        checkpoint, then fresh init."""
+        template = jax.tree.map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            self._state_shape, self.shardings,
+        )
+        if self.tc.resume_from is not None:
+            manager, step = TrainCheckpointManager.open(self.tc.resume_from)
+            state, meta = manager.restore(template, step=step)
+            manager.close()
+            if state is None:
+                raise FileNotFoundError(
+                    f"--resume_from {self.tc.resume_from}: no checkpoint found"
+                )
+            if meta:
+                train_loader.set_state(meta)
+            return state
+        if self.ckpt.latest_step() is not None:
             state, meta = self.ckpt.restore(template)
             if state is not None:
                 if meta:
@@ -226,14 +251,35 @@ class Trainer:
 
     # -- eval -------------------------------------------------------------------
 
+    @staticmethod
+    def _pad_to_multiple(batch: dict, multiple: int) -> tuple[dict, int]:
+        """Pad a ragged eval batch up to a data-axis multiple by repeating the
+        first example (valid compute, no fully-masked rows), with a per-example
+        ``loss_weight`` zeroing the padding out of loss/ntok/BLEU. The
+        reference evaluated every batch (its loaders never dropped the eval
+        tail, main.py:560-571); skipping tails would silently shrink small
+        per-language validation splits."""
+        n = batch["pixel_values"].shape[0]
+        pad = (-n) % multiple
+        out = {
+            k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)]) if pad else v
+            for k, v in batch.items()
+        }
+        out["loss_weight"] = np.concatenate(
+            [np.ones(n, np.float32), np.zeros(pad, np.float32)]
+        )
+        return out, n
+
     def evaluate(self, params, eval_loaders) -> dict:
         metrics = {}
         for lang, loader in eval_loaders.items():
             losses, ntoks, preds, refs = [], [], [], []
             loader.next_batch = 0
             for batch in loader.epoch_iterator(epoch=0):
-                if batch["pixel_values"].shape[0] % self.mesh.shape["data"] != 0:
-                    continue  # ragged tail: skip (eval sets are large)
+                # pad the ragged tail to the FULL eval batch: keeps the
+                # jitted eval/generate shapes static (one compile), and the
+                # wasted compute is at most one batch per language
+                batch, n_real = self._pad_to_multiple(dict(batch), self.eval_batch)
                 dev_batch = self._put_batch(batch)
                 m = self.p_eval_step(params, dev_batch)
                 losses.append(float(m["loss"]))
@@ -244,8 +290,11 @@ class Trainer:
                         params, dev_batch["pixel_values"],
                         jnp.asarray(start, jnp.int32),
                     )
-                    preds.extend(self.tokenizer.batch_decode(np.asarray(seqs)))
-                    refs.extend(self.tokenizer.batch_decode(batch["labels"]))
+                    decoded = self.tokenizer.batch_decode(np.asarray(seqs))
+                    preds.extend(decoded[:n_real])
+                    refs.extend(
+                        self.tokenizer.batch_decode(batch["labels"][:n_real])
+                    )
             if losses:
                 metrics[f"{lang}/loss"] = float(
                     np.average(losses, weights=ntoks)
@@ -267,6 +316,29 @@ class Trainer:
             lambda x: jax.device_put(x, self.batch_shard), dict(batch)
         )
 
+    def _device_prefetch(self, loader: CaptionLoader):
+        """Double-buffered host->device transfer: batch N+1 is device_put
+        (async) while step N executes, so H2D rides under compute instead of
+        serializing with it. Combined with the loader's decode-ahead pool this
+        is the input-overlap the reference lacked (its torch loader fed
+        numpy synchronously into pmap dispatch, main.py:548-556, the
+        documented bottleneck README.md:103).
+
+        Yields (device_batch, loader_state) — the state snapshot taken when
+        THIS batch was pulled, because pulling ahead advances the loader's
+        resume position one batch early; checkpoints must record the position
+        of the batch actually trained on, not the one in the buffer."""
+        it = loader.epoch_iterator()
+        prev = None
+        for batch in it:
+            snap = loader.state()
+            dev = self._put_batch(batch)
+            if prev is not None:
+                yield prev
+            prev = (dev, snap)
+        if prev is not None:
+            yield prev
+
     # -- main loop ---------------------------------------------------------------
 
     def train(self) -> TrainState:
@@ -284,8 +356,7 @@ class Trainer:
             prof_range = (int(a), int(z or int(a) + 3))
 
         while train_loader.epoch < self.tc.num_epochs:
-            for batch in train_loader.epoch_iterator():
-                dev_batch = self._put_batch(batch)
+            for dev_batch, data_state in self._device_prefetch(train_loader):
                 if prof_range and step == prof_range[0]:
                     jax.profiler.start_trace(
                         os.path.join(self.tc.output_dir, "profile")
@@ -309,9 +380,9 @@ class Trainer:
                                     prefix="eval")
 
                 if step % self.tc.save_steps == 0:
-                    self._save(step, state, train_loader)
+                    self._save(step, state, data_state)
 
-        self._save(step, state, train_loader)
+        self._save(step, state, train_loader.state())
         self.ckpt.wait()
         if eval_loaders:
             self.logger.log(step, self.evaluate(state.params, eval_loaders),
@@ -323,5 +394,5 @@ class Trainer:
             self.tokenizer.save(os.path.join(model_dir, "tokenizer.json"))
         return state
 
-    def _save(self, step: int, state: TrainState, loader: CaptionLoader) -> None:
-        self.ckpt.save(step, state, data_meta=loader.state())
+    def _save(self, step: int, state: TrainState, data_meta: dict) -> None:
+        self.ckpt.save(step, state, data_meta=data_meta)

@@ -130,3 +130,25 @@ def test_loader_multiprocess_matches_sync(tmp_path):
     for x, y in zip(sync, par):
         np.testing.assert_array_equal(x["labels"], y["labels"])
         np.testing.assert_array_equal(x["pixel_values"], y["pixel_values"])
+
+
+def test_loader_bounded_prefetch_window(tmp_path):
+    """The pool path keeps at most num_workers+prefetch batches in flight and
+    still yields every batch in order; resume position stays exact."""
+    tsv, img_dir = make_tsv(tmp_path)
+    ds = CaptionDataset(tsv, img_dir)
+    tk = SimpleTokenizer()
+    tk.encode_targets([f"caption {i}" for i in range(10)], ["en_XX"] * 10, 6)
+    tk.freeze()
+    kw = dict(batch_size=2, image_size=24, max_length=6, seed=1)
+    sync = list(CaptionLoader(ds, tk, **kw).epoch_iterator(epoch=0))
+    par_loader = CaptionLoader(ds, tk, num_workers=2, prefetch=3, **kw)
+    it = par_loader.epoch_iterator(epoch=0)
+    got = [next(it)]
+    assert par_loader.state()["next_batch"] == 1
+    got.extend(it)
+    par_loader.close()
+    assert len(got) == len(sync)
+    for x, y in zip(sync, got):
+        np.testing.assert_array_equal(x["labels"], y["labels"])
+        np.testing.assert_array_equal(x["pixel_values"], y["pixel_values"])

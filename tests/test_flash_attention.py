@@ -67,3 +67,35 @@ def test_model_with_pallas_attention():
     a = ref(params, px, ids, mask)
     b = fast(params, px, ids, mask)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_fully_masked_rows_get_zero_gradients():
+    """A fully-padded query row outputs exact zeros in the forward; the
+    recompute backward must likewise emit zero dq for it and leak nothing
+    into dk/dv (left-padding case under attn_impl='pallas')."""
+    rng = np.random.default_rng(7)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(1, 8, 2, 16)), jnp.float32) for _ in range(3)
+    )
+    mask = np.ones((1, 1, 8, 8), bool)
+    mask[0, 0, :3, :] = False  # first 3 query rows fully masked
+    mask = jnp.asarray(mask)
+
+    out = flash_attention(q, k, v, mask=mask, block_q=8, block_k=8)
+    np.testing.assert_array_equal(np.asarray(out[:, :3]), 0.0)
+
+    # whole-output loss through flash: masked rows must contribute nothing
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask=mask, block_q=8, block_k=8) ** 2)
+
+    # oracle: XLA attention with the masked rows excluded from the loss
+    # (the XLA path gives fully-masked rows uniform weights, so its whole-
+    # output loss is NOT comparable)
+    def loss_xla_valid(q, k, v):
+        return jnp.sum(dot_product_attention(q, k, v, mask=mask)[:, 3:] ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla_valid, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_array_equal(np.asarray(g_flash[0][:, :3]), 0.0)
+    for a, b in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -172,3 +172,34 @@ def test_bf16_forward_runs():
     )
     assert logits.dtype == jnp.bfloat16
     assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
+
+
+def test_attention_dropout_is_live():
+    """config.attention_dropout must not be a silent no-op: with an rng it
+    perturbs training logits stochastically (both towers), without an rng the
+    forward is deterministic and equals the rate-0 model (HF Flax*Attention
+    dropout semantics)."""
+    base = CaptionerConfig.tiny()
+    cfg = base.replace(
+        vision=base.vision.replace(attention_dropout=0.5),
+        decoder=base.decoder.replace(attention_dropout=0.5, dropout=0.0),
+    )
+    model = Captioner(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    px = jnp.linspace(0, 1, 2 * 32 * 32 * 3).reshape(2, 32, 32, 3)
+    ids = jnp.ones((2, 5), jnp.int32)
+    mask = jnp.ones((2, 5), jnp.int32)
+
+    a = model(params, px, ids, mask, rng=jax.random.PRNGKey(1))
+    b = model(params, px, ids, mask, rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(a), np.asarray(b)), (
+        "attention_dropout had no effect under rng"
+    )
+
+    det = model(params, px, ids, mask, rng=None)
+    model0 = Captioner(base.replace(
+        vision=base.vision.replace(attention_dropout=0.0),
+        decoder=base.decoder.replace(attention_dropout=0.0, dropout=0.0),
+    ))
+    det0 = model0(params, px, ids, mask, rng=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(det), np.asarray(det0), rtol=1e-6)

@@ -128,6 +128,106 @@ def test_train_loop_and_resume(tmp_path):
     trainer2.ckpt.close()
 
 
+def test_resume_from_other_directory(tmp_path):
+    """--resume_from must restore from an ARBITRARY run's checkpoints (the
+    reference's restore_model_checkpoint, main.py:332-346, was dead code):
+    train into dir A, resume into fresh dir B, bit-identical state; all three
+    accepted path forms work; a bogus path errors instead of silently
+    fresh-initializing."""
+    from mic_tpu.train.trainer import Trainer
+
+    train_tsv, val_tsv, img_dir = make_synthetic_dataset(tmp_path)
+    mc, dc, tc = tiny_configs(tmp_path, train_tsv, val_tsv, img_dir,
+                              output_dir=str(tmp_path / "run_a"))
+    trainer = Trainer(mc, dc, tc)
+    state = trainer.train()
+    trainer.ckpt.close()
+    step_a = int(jax.device_get(state.step))
+    ref = [np.asarray(x) for x in jax.tree.leaves(jax.device_get(state.params))]
+
+    for path in (
+        tc.output_dir,
+        tc.output_dir + "/checkpoints",
+        tc.output_dir + f"/checkpoints/{step_a}",
+    ):
+        tc_b = tc.replace(output_dir=str(tmp_path / "run_b"), resume_from=path)
+        trainer_b = Trainer(mc, dc, tc_b)
+        loader, _ = trainer_b.make_loaders()
+        trainer_b.build(len(loader))
+        state_b = trainer_b.init_or_resume(loader)
+        assert int(jax.device_get(state_b.step)) == step_a
+        for x, y in zip(ref, jax.tree.leaves(jax.device_get(state_b.params))):
+            np.testing.assert_array_equal(x, np.asarray(y))
+        trainer_b.ckpt.close()
+
+    tc_bad = tc.replace(output_dir=str(tmp_path / "run_c"),
+                        resume_from=str(tmp_path / "nowhere"))
+    trainer_c = Trainer(mc, dc, tc_bad)
+    loader, _ = trainer_c.make_loaders()
+    trainer_c.build(len(loader))
+    with pytest.raises(FileNotFoundError):
+        trainer_c.init_or_resume(loader)
+    trainer_c.ckpt.close()
+
+
+def test_checkpoint_data_position_not_skewed_by_prefetch(tmp_path):
+    """The device-prefetch loop pulls batch N+1 before step N checkpoints; a
+    mid-epoch save must still record the position of the batch actually
+    trained on (resume must not skip a batch)."""
+    import json as _json
+
+    from mic_tpu.train.trainer import Trainer
+
+    train_tsv, val_tsv, img_dir = make_synthetic_dataset(tmp_path)
+    # 24 train imgs / 8 devices / bs1 = 3 steps per epoch; save at step 2
+    mc, dc, tc = tiny_configs(tmp_path, train_tsv, val_tsv, img_dir,
+                              save_steps=2, num_epochs=1,
+                              output_dir=str(tmp_path / "run_pf"))
+    trainer = Trainer(mc, dc, tc)
+    trainer.train()
+    trainer.ckpt.close()
+    with open(tc.output_dir + "/checkpoints/2/meta.json") as f:
+        meta = _json.load(f)
+    assert meta == {"epoch": 0, "next_batch": 2}, meta
+    # end-of-training save records the completed epoch
+    with open(tc.output_dir + "/checkpoints/3/meta.json") as f:
+        meta3 = _json.load(f)
+    assert meta3["epoch"] + (meta3["next_batch"] == 0) >= 1, meta3
+
+
+def test_eval_covers_ragged_tail(tmp_path):
+    """Per-language eval splits smaller than (or not divisible by) the data
+    axis must still be evaluated — padded and masked, never skipped. With 2
+    examples per language on an 8-device mesh the old behavior skipped every
+    batch and produced no eval metrics at all."""
+    from mic_tpu.train.trainer import Trainer
+
+    train_tsv, val_tsv, img_dir = make_synthetic_dataset(tmp_path)
+    mc, dc, tc = tiny_configs(tmp_path, train_tsv, val_tsv, img_dir,
+                              gen_eval=True)
+    trainer = Trainer(mc, dc, tc)
+    train_loader, eval_loaders = trainer.make_loaders()
+    trainer.build(len(train_loader))
+    state = trainer._init_state()
+    metrics = trainer.evaluate(state.params, eval_loaders)
+    trainer.ckpt.close()
+    for lang in ("en_XX", "fr_XX", "es_XX", "de_DE"):
+        assert f"{lang}/loss" in metrics, metrics.keys()
+        assert np.isfinite(metrics[f"{lang}/loss"])
+        assert f"{lang}/bleu-1" in metrics, metrics.keys()
+
+    # the padding itself must not change the loss value: a weight-0 repeated
+    # example contributes nothing to the masked mean
+    batch = next(iter(eval_loaders["en_XX"].epoch_iterator(epoch=0)))
+    padded, n_real = Trainer._pad_to_multiple(dict(batch), 8)
+    assert padded["pixel_values"].shape[0] == 8 and n_real == 2
+    np.testing.assert_array_equal(padded["loss_weight"], [1, 1, 0, 0, 0, 0, 0, 0])
+    m_pad = trainer.p_eval_step(state.params, trainer._put_batch(padded))
+    assert float(m_pad["ntok"]) == float(
+        np.sum(batch["decoder_attention_mask"])
+    )
+
+
 def test_loss_decreases_overfit(tmp_path):
     """2+ train steps on one repeated batch must reduce the loss."""
     from mic_tpu.train.trainer import Trainer
