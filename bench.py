@@ -27,7 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+# batch 128 is the measured throughput sweet spot with the lazy beam cache
+# (64 was the sweet spot for the physical-permute cache, whose permute+copy
+# costs scaled superlinearly with batch; see PERFORMANCE.md batch sweep)
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 MAX_LENGTH = 64
 NUM_BEAMS = 4
 TARGET_PER_CHIP = 5000 / 8  # north-star: 5k captions/s on v5e-8

@@ -44,12 +44,30 @@ from mic_tpu.generate.processors import NEG_INF, Processor, build_warpers
 from mic_tpu.nn.cache import DecoderCache
 import os
 
-from mic_tpu.ops.beam_permute import beam_permute_matmul
 from mic_tpu.ops.topk_lse import topk_log_probs
 
-_USE_PALLAS_TOPK = os.environ.get("MIC_TPU_PALLAS_TOPK", "0") == "1"
-_SEGMENTED_TOPK = int(os.environ.get("MIC_TPU_SEGMENTED_TOPK", "0"))
-_APPROX_TOPK = os.environ.get("MIC_TPU_APPROX_TOPK", "0") == "1"
+
+def _topk_mode() -> str:
+    """Candidate-selection strategy, resolved at TRACE time (not import time)
+    so one process can compile both variants (tools/validate_fast_decode.py).
+
+    Default on TPU is `jax.lax.approx_max_k` (the hardware-native partial
+    reduction, ~1.8 ms/step faster than the exact TopK custom-call at the
+    flagship shapes) — validated BLEU-neutral on a converged flagship model
+    (PERFORMANCE.md "Approx top-k validation"). On CPU the approx lowering IS
+    exact top-k, so tests see identical bits. MIC_TPU_EXACT_TOPK=1 forces the
+    exact custom-call; the other modes are documented measured dead ends.
+    """
+    if os.environ.get("MIC_TPU_PALLAS_TOPK", "0") == "1":
+        return "pallas"
+    seg = os.environ.get("MIC_TPU_SEGMENTED_TOPK", "0")
+    if seg != "0":
+        return f"segmented:{seg}"
+    if os.environ.get("MIC_TPU_EXACT_TOPK", "0") == "1":
+        return "exact"
+    if os.environ.get("MIC_TPU_APPROX_TOPK", "0") == "1":
+        return "approx"
+    return "approx" if jax.default_backend() == "tpu" else "exact"
 
 
 def _segmented_topk(logits: jnp.ndarray, k: int, seg: int):
@@ -109,19 +127,21 @@ def _candidates(
     n = logits.shape[0]
     forced_tok = spec.forced_token_at(cur_len)
 
+    mode = _topk_mode()
+
     def normal(_):
-        if _USE_PALLAS_TOPK:
+        if mode == "pallas":
             # fused Pallas top-k+logsumexp pass (ops/topk_lse.py); currently
             # ~12% slower than XLA's TopK custom-call at the flagship shapes
             # (the in-kernel K-step select-and-mask is VPU-bound), so opt-in
             return topk_log_probs(logits, k)
         lse = _logsumexp(logits.astype(jnp.float32))
-        if _APPROX_TOPK:
-            # TPU-optimized approximate top-k (recall ~0.95 per candidate);
-            # opt-in quality/speed knob — exact selection is the default
+        if mode == "approx":
+            # TPU-native approximate top-k (per-candidate recall ~0.95,
+            # BLEU-validated — see _topk_mode); exact on CPU
             vals, ids = jax.lax.approx_max_k(logits.astype(jnp.float32), k)
-        elif _SEGMENTED_TOPK > 0:
-            vals, ids = _segmented_topk(logits, k, _SEGMENTED_TOPK)
+        elif mode.startswith("segmented:"):
+            vals, ids = _segmented_topk(logits, k, int(mode.split(":")[1]))
         else:
             # top_k on raw (usually bf16) logits: monotone under the f32 cast.
             # XLA's TopK takes a pathologically slow path for tiny k at this
@@ -373,14 +393,13 @@ def _beam_search(
         next_sequences = _gather_beams(merged_sequences, keep)
         next_is_finished = jnp.take_along_axis(merged_finished, keep, axis=1)
 
-        # reorder the flat (B*K) cache to follow the chosen running beams
-        # (length-bucketed one-hot matmul over the batch axis; cross-attn
-        # caches are beam-invariant within a group and never move)
+        # reorder the flat (B*K) cache to follow the chosen running beams —
+        # strategy lives on the cache type: DecoderCache physically permutes
+        # rows (one-hot matmul over the batch axis; cross-attn caches are
+        # beam-invariant within a group and never move), LazyDecoderCache
+        # just composes its ancestry indices (zero cache movement)
         src_beam = _gather_beams(topk_beam[:, :, None], running_pick)[:, :, 0]
-        cache = cache._replace(
-            self_k=beam_permute_matmul(cache.self_k, src_beam, K),
-            self_v=beam_permute_matmul(cache.self_v, src_beam, K),
-        )
+        cache = cache.beam_reorder(src_beam, K)
 
         return _BeamState(
             cur_len=s.cur_len + 1,

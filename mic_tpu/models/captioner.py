@@ -27,7 +27,7 @@ from mic_tpu.core.config import CaptionerConfig
 from mic_tpu.generate import search
 from mic_tpu.generate.processors import build_warpers
 from mic_tpu.models import clip_vit, mbart_decoder
-from mic_tpu.nn.cache import DecoderCache, init_cache
+from mic_tpu.nn.cache import DecoderCache, init_cache, init_lazy_cache
 from mic_tpu.nn.layers import Params, dense, init_dense, init_embed
 
 from typing import NamedTuple
@@ -200,16 +200,28 @@ class Captioner:
     def lm_logits(self, params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
         if self.config.tie_word_embeddings:
             shared = params["shared"]
-            if "embedding_q" in shared:  # int8: scale applies per vocab row,
-                # i.e. per logits column — after the int8->bf16 matmul.
-                # (Routing this through the fused int8 GEMM kernel measured
-                # SLOWER, 76.6 vs 81.8 captions/s: XLA keeps the dequant +
-                # matmul + bias in one fusion chain; ops/int8_matmul.py stays
-                # as a documented reference.)
-                logits = jnp.dot(
-                    hidden, shared["embedding_q"].astype(self.dtype).T,
-                    preferred_element_type=self.dtype,
-                ) * shared["embedding_scale"].astype(self.dtype)
+            if "embedding_q" in shared:
+                # int8 LM head as a NATIVE int8 x int8 dot: dynamic per-token
+                # activation quant, both scales folded into the int32
+                # accumulator epilogue. The bf16-dequant formulation measured
+                # throughput parity — XLA hoisted the dequantized 512 MB
+                # kernel out of the decode loop, so the loop still streamed
+                # bf16; int8 operands keep the stream at 256 MB. (The pallas
+                # dequant GEMM measured slower, 76.6 vs 81.8 captions/s —
+                # ops/int8_matmul.py stays as a documented reference.)
+                from mic_tpu.ops.quant import quantize_rows_dynamic
+
+                hq, hs = quantize_rows_dynamic(hidden)
+                acc = jax.lax.dot_general(
+                    hq, shared["embedding_q"],
+                    (((hidden.ndim - 1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                logits = (
+                    acc.astype(jnp.float32)
+                    * hs
+                    * shared["embedding_scale"]
+                ).astype(self.dtype)
                 return logits + params["final_logits_bias"].astype(self.dtype)
             kernel = shared["embedding"].T
         else:
@@ -223,19 +235,27 @@ class Captioner:
 
     def init_decode_cache(
         self, params: Params, enc_states: jnp.ndarray, max_length: int,
-        beams: int = 1,
+        beams: int = 1, lazy: bool = False,
     ) -> DecoderCache:
         """enc_states is TRUE-batch (B, S, D): the cross-attention cache keeps
-        one K/V copy per image; only the self-attention cache is per-beam."""
+        one K/V copy per image; only the self-attention cache is per-beam.
+        With lazy=True, returns a LazyDecoderCache (ancestry-tracked beam
+        reordering — no physical cache permute per step)."""
         cfg = self.config.decoder
         batch, enc_len = enc_states.shape[0], enc_states.shape[1]
         cross_k, cross_v = mbart_decoder.init_cross_cache(
             params["decoder"], enc_states, cfg, self.dtype
         )
-        empty = init_cache(
-            cfg.num_layers, batch * beams, max_length, enc_len, cfg.num_heads,
-            cfg.head_dim, self.dtype,
-        )
+        if lazy:
+            empty = init_lazy_cache(
+                cfg.num_layers, batch, beams, max_length, enc_len,
+                cfg.num_heads, cfg.head_dim, self.dtype,
+            )
+        else:
+            empty = init_cache(
+                cfg.num_layers, batch * beams, max_length, enc_len,
+                cfg.num_heads, cfg.head_dim, self.dtype,
+            )
         return empty._replace(cross_k=cross_k, cross_v=cross_v)
 
     def decode_step(
@@ -259,7 +279,9 @@ class Captioner:
         """Caption a batch of images. Jittable; all defaults come from
         config.generation, overridable per call (max_length, num_beams,
         forced_bos_token_id, decoder_start_token_id, do_sample, ...)."""
-        quantize = overrides.pop("quantize", None)
+        quantize = overrides.pop("quantize", None) or os.environ.get(
+            "MIC_TPU_DECODE_QUANT"
+        )
         gen = self.config.generation.replace(**overrides)
         dec = self.config.decoder
         start = (
@@ -269,12 +291,6 @@ class Captioner:
         )
         batch = pixel_values.shape[0]
 
-        if quantize == "int8":
-            # int8 weight-only decode: halves weight streaming again vs bf16
-            # (every decode step re-reads all decoder + LM-head weights)
-            from mic_tpu.ops.quant import quantize_params_for_decode
-
-            params = quantize_params_for_decode(params)
         if self.dtype != jnp.float32:
             # cast weights to the compute dtype ONCE, outside the decode loop:
             # halves the HBM weight traffic of every step (params live f32 for
@@ -284,10 +300,25 @@ class Captioner:
                 if jnp.issubdtype(x.dtype, jnp.floating) else x,
                 params,
             )
+        if quantize == "int8":
+            # int8 weight-only decode: halves weight streaming again vs bf16
+            # (every decode step re-reads all decoder + LM-head weights).
+            # Runs AFTER the bf16 cast so the f32 quantization scales are not
+            # themselves downcast (quant math runs in f32 internally).
+            from mic_tpu.ops.quant import quantize_params_for_decode
+
+            params = quantize_params_for_decode(params)
 
         enc_states = self.encode(params, pixel_values)  # true batch: no repeat
+        # Beam search defaults to the lazy (ancestry-masked) cache: no
+        # physical beam permute and one in-place cache column write per layer
+        # instead of double-buffering the whole cache through the layer scan.
+        # MIC_TPU_LAZY_CACHE=0 falls back to the physically-permuted cache.
+        lazy = gen.num_beams > 1 and (
+            os.environ.get("MIC_TPU_LAZY_CACHE", "1") == "1"
+        )
         cache = self.init_decode_cache(
-            params, enc_states, gen.max_length, beams=gen.num_beams
+            params, enc_states, gen.max_length, beams=gen.num_beams, lazy=lazy
         )
 
         def step_fn(token_ids, cache):
@@ -325,15 +356,27 @@ class Captioner:
         self.config.to_json(os.path.join(directory, "config.json"))
         checkpoint.save_params(directory, params)
 
-    @classmethod
-    def from_pretrained(cls, directory: str, **kw) -> tuple["Captioner", Params]:
-        """Load a model directory — either mic_tpu's own format (config.json +
-        Orbax params) or a reference/HF fused checkpoint (config.json with
-        clip_vision_config/mbart_config + flax_model.msgpack), auto-detected.
-        Mirrors the reference's from_pretrained surface
-        (modeling_clip_vision_utils.py:119-396)."""
-        from mic_tpu.io import checkpoint
+    def push_to_hub(self, directory: str, repo_id: str, **kw) -> str:
+        """Upload a `save_pretrained` directory to the HF Hub (reference:
+        main.py:322-328). Requires network + credentials; see io/hub.py."""
+        from mic_tpu.io.hub import push_to_hub
 
+        return push_to_hub(directory, repo_id, **kw)
+
+    @classmethod
+    def from_pretrained(
+        cls, directory: str, revision: Optional[str] = None, **kw
+    ) -> tuple["Captioner", Params]:
+        """Load a model — a local directory in either mic_tpu's own format
+        (config.json + Orbax params) or a reference/HF fused checkpoint
+        (config.json with clip_vision_config/mbart_config +
+        flax_model.msgpack), auto-detected — or a hub repo id resolved to a
+        cached snapshot (io/hub.py). Mirrors the reference's from_pretrained
+        surface (modeling_clip_vision_utils.py:119-396)."""
+        from mic_tpu.io import checkpoint
+        from mic_tpu.io.hub import resolve_model_dir
+
+        directory = resolve_model_dir(directory, revision=revision)
         if os.path.exists(os.path.join(directory, "flax_model.msgpack")):
             from mic_tpu.io.hf_import import load_fused_checkpoint
 

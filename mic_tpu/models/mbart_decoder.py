@@ -27,9 +27,10 @@ from mic_tpu.nn.attention import (
     mha,
     mha_cross_grouped,
     mha_decode_step,
+    mha_decode_step_lazy,
     project_kv,
 )
-from mic_tpu.nn.cache import DecoderCache
+from mic_tpu.nn.cache import DecoderCache, LazyDecoderCache
 from mic_tpu.nn.layers import (
     ACTIVATIONS,
     Params,
@@ -307,6 +308,80 @@ def _decoder_step_fused(
     return x, new_cache
 
 
+def _decoder_step_lazy(
+    params: Params,
+    shared: Params,
+    token_ids: jnp.ndarray,
+    cache: LazyDecoderCache,
+    cfg: DecoderConfig,
+    dtype,
+    enc_mask: Optional[jnp.ndarray],
+    beams: int,
+) -> Tuple[jnp.ndarray, LazyDecoderCache]:
+    """decoder_step on a LazyDecoderCache: no physical beam reorder, one
+    in-place cache-column write per layer.
+
+    Layers are unrolled in Python (static slices of the stacked params)
+    instead of `lax.scan`: each per-layer cache array is then a separate
+    loop-carried buffer whose single `dynamic_update_slice` XLA aliases in
+    place. Threading the caches through scan xs->ys double-buffers ~1.6 GB
+    per step at the flagship config; a post-scan column write copies the
+    whole cache (the scan keeps it live) — both measured slower.
+    """
+    eps = cfg.layer_norm_eps
+    act = ACTIVATIONS[cfg.activation]
+    index = cache.index
+    post = cfg.post_norm
+
+    x = embed_tokens(shared, token_ids, cfg, dtype)
+    pos = jnp.full(token_ids.shape, index, token_ids.dtype)
+    x = x + embed(params["pos_embed"], pos + cfg.pos_offset, dtype)
+    x = layer_norm(params["ln_embed"], x, eps)
+
+    cross_mask = (
+        None if enc_mask is None else enc_mask.astype(jnp.bool_)[:, None, None, :]
+    )
+
+    new_k, new_v = [], []
+    for l in range(cfg.num_layers):
+        p = jax.tree.map(lambda a, _l=l: a[_l], params["layers"])
+        r = x
+        if not post:
+            x = layer_norm(p["ln_self"], x, eps)
+        x, sk, sv = mha_decode_step_lazy(
+            p["self_attn"], x, cache.self_k[l], cache.self_v[l],
+            cache.ancestry, index, cfg.num_heads, beams,
+        )
+        new_k.append(sk)
+        new_v.append(sv)
+        x = r + x
+        if post:
+            x = layer_norm(p["ln_self"], x, eps)
+        r = x
+        if not post:
+            x = layer_norm(p["ln_cross"], x, eps)
+        x = mha_cross_grouped(
+            p["cross_attn"], x, cache.cross_k[l], cache.cross_v[l],
+            cross_mask, cfg.num_heads, beams,
+        )
+        x = r + x
+        if post:
+            x = layer_norm(p["ln_cross"], x, eps)
+        r = x
+        if not post:
+            x = layer_norm(p["ln_mlp"], x, eps)
+        x = r + dense(p["fc2"], act(dense(p["fc1"], x)))
+        if post:
+            x = layer_norm(p["ln_mlp"], x, eps)
+    if cfg.use_final_ln:
+        x = layer_norm(params["final_ln"], x, eps)
+    new_cache = cache._replace(
+        self_k=tuple(new_k), self_v=tuple(new_v),
+        index=index + token_ids.shape[1],
+    )
+    return x, new_cache
+
+
 def decoder_step(
     params: Params,
     shared: Params,
@@ -322,6 +397,10 @@ def decoder_step(
     The self-attention cache is per (batch*beam) row; the cross-attention
     cache is per IMAGE (true batch) and shared across beams via grouped
     attention (mic_tpu/nn/attention.py mha_cross_grouped)."""
+    if isinstance(cache, LazyDecoderCache):
+        return _decoder_step_lazy(
+            params, shared, token_ids, cache, cfg, dtype, enc_mask, beams
+        )
     if _FUSED_DECODE:
         return _decoder_step_fused(
             params, shared, token_ids, cache, cfg, dtype, enc_mask, beams

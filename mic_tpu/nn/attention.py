@@ -131,6 +131,56 @@ def mha_decode_step(
     return dense(params["o"], merge_heads(out)), cache_k, cache_v
 
 
+def mha_decode_step_lazy(
+    params: Params,
+    x: jnp.ndarray,          # (B*K, 1, D) current-step hidden states
+    cache_k: jnp.ndarray,    # (B*K, max_len, H, Dh) — rows never reordered
+    cache_v: jnp.ndarray,
+    ancestry: jnp.ndarray,   # (B, K, max_len) int32 within-group source slots
+    index: jnp.ndarray,      # scalar int32: position being written
+    num_heads: int,
+    beams: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Cached beam self-attention without physical cache reordering.
+
+    The K/V written at position t live in whatever row wrote them; a beam's
+    true history is ``cache[b, ancestry[b, k, t], t]``.  Rather than gathering,
+    attention scores are computed against ALL ``beams`` source rows (a tiny
+    K× FLOP overhead on the 1-token query) and the ancestry becomes part of
+    the mask: entry (k, j, t) survives iff ancestry[b, k, t] == j and
+    t <= index.  Softmax over the joint (j, t) axis then equals the softmax
+    the physically-reordered cache would produce.  HBM cost per step: read
+    K+V once (like any attention) and write ONE column — no permute pass.
+
+    Returns (out (B*K, 1, D), cache_k, cache_v) with the new column written
+    (callers keep the update in place: the caches are loop-carried buffers).
+    """
+    bk, one, d = x.shape
+    head_dim = d // num_heads
+    b = bk // beams
+    q = dense(params["q"], x) * (head_dim**-0.5)
+    q = q.reshape(b, beams * one, num_heads, head_dim)          # (B, K, H, Dh)
+    k_step, v_step = project_kv(params, x, num_heads)           # (BK, 1, H, Dh)
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k_step, (0, index, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v_step, (0, index, 0, 0))
+    t = cache_k.shape[1]
+    kg = cache_k.reshape(b, beams, t, num_heads, head_dim)      # (B, J, T, H, Dh)
+    vg = cache_v.reshape(b, beams, t, num_heads, head_dim)
+    scores = jnp.einsum(
+        "bkhd,bjthd->bhkjt", q, kg, preferred_element_type=jnp.float32
+    )                                                           # (B, H, K, J, T)
+    live = jnp.arange(t) <= index                               # (T,)
+    sel = ancestry[..., None] == jnp.arange(beams, dtype=jnp.int32)  # (B, K, T, J)
+    mask = (sel & live[None, None, :, None]).transpose(0, 1, 3, 2)   # (B, K, J, T)
+    scores = jnp.where(mask[:, None], scores, jnp.finfo(jnp.float32).min)
+    w = jax.nn.softmax(scores.reshape(b, num_heads, beams, beams * t), axis=-1)
+    w = w.reshape(b, num_heads, beams, beams, t).astype(x.dtype)
+    out = jnp.einsum(
+        "bhkjt,bjthd->bkhd", w, vg, preferred_element_type=x.dtype
+    )
+    return dense(params["o"], out.reshape(bk, one, d)), cache_k, cache_v
+
+
 def mha_decode_step_split(
     params: Params,
     x: jnp.ndarray,          # (B, 1, D) current-step hidden states

@@ -81,6 +81,79 @@ class DecoderCache(NamedTuple):
             index=self.index,
         )
 
+    def beam_reorder(self, beam_indices: jnp.ndarray, num_beams: int) -> "DecoderCache":
+        """Physical beam reorder: move the self K/V rows with the one-hot
+        batch-axis matmul (mic_tpu/ops/beam_permute.py). ~1.6 GB of cache
+        read+write per step at the flagship config — LazyDecoderCache below
+        avoids the move entirely."""
+        from mic_tpu.ops.beam_permute import beam_permute_matmul
+
+        return self._replace(
+            self_k=beam_permute_matmul(self.self_k, beam_indices, num_beams),
+            self_v=beam_permute_matmul(self.self_v, beam_indices, num_beams),
+        )
+
+
+class LazyDecoderCache(NamedTuple):
+    """Beam-search KV cache that is NEVER physically reordered.
+
+    Row (b, k) of each per-layer self K/V array always holds the K/V written
+    by running-beam slot k of image b at each step; which *earlier* slot a
+    beam's token at position t actually came from is tracked in ``ancestry``
+    (int32, within-group source slot per position).  Attention folds the
+    ancestry into its mask (mic_tpu/nn/attention.py mha_decode_step_lazy), so
+    a beam reorder is an O(B·K·T) int gather instead of the physical path's
+    ~1.6 GB/step cache permute, and the per-step cache write is one column per
+    layer (in-place `dynamic_update_slice` on loop-carried buffers — the
+    self K/V are a TUPLE of per-layer arrays precisely so XLA can alias each
+    layer's update; a stacked (L, ...) array threaded through the layer scan
+    double-buffers the whole cache every step, measured ~1.6 GB/step extra).
+
+    Replaces the reference's per-step pytree cache gather
+    (generation_clip_vision_utils.py:945-953) with zero data movement.
+
+    Shapes:
+      self_k / self_v : L-tuple of (B*K, max_len, H, Dh)
+      cross_k/ cross_v: (L, B, enc_len, H, Dh)  — per image, beam-invariant
+      ancestry        : (B, K, max_len) int32
+      index           : scalar int32 — number of tokens already written.
+    """
+
+    self_k: tuple
+    self_v: tuple
+    cross_k: jnp.ndarray
+    cross_v: jnp.ndarray
+    ancestry: jnp.ndarray
+    index: jnp.ndarray
+
+    @property
+    def batch(self) -> int:
+        return self.self_k[0].shape[0]
+
+    @property
+    def max_len(self) -> int:
+        return self.self_k[0].shape[1]
+
+    @property
+    def num_beams(self) -> int:
+        return self.ancestry.shape[1]
+
+    def beam_reorder(self, beam_indices: jnp.ndarray, num_beams: int) -> "LazyDecoderCache":
+        """Reorder = compose the ancestry with the chosen source slots.
+
+        Positions already written (< index) inherit the source beam's
+        ancestry; unwritten positions reset to identity (each slot writes its
+        own K/V there on a later step)."""
+        gathered = jnp.take_along_axis(
+            self.ancestry, beam_indices[:, :, None].astype(jnp.int32), axis=1
+        )
+        ident = jnp.broadcast_to(
+            jnp.arange(num_beams, dtype=jnp.int32)[None, :, None],
+            self.ancestry.shape,
+        )
+        written = (jnp.arange(self.max_len) < self.index)[None, None, :]
+        return self._replace(ancestry=jnp.where(written, gathered, ident))
+
 
 def init_cache(
     num_layers: int,
@@ -95,5 +168,30 @@ def init_cache(
     xkv = jnp.zeros((num_layers, batch, enc_len, num_heads, head_dim), dtype)
     return DecoderCache(
         self_k=kv, self_v=kv, cross_k=xkv, cross_v=xkv,
+        index=jnp.zeros((), jnp.int32),
+    )
+
+
+def init_lazy_cache(
+    num_layers: int,
+    batch: int,          # true batch (images)
+    num_beams: int,
+    max_len: int,
+    enc_len: int,
+    num_heads: int,
+    head_dim: int,
+    dtype=jnp.float32,
+) -> LazyDecoderCache:
+    kv = jnp.zeros((batch * num_beams, max_len, num_heads, head_dim), dtype)
+    xkv = jnp.zeros((num_layers, batch, enc_len, num_heads, head_dim), dtype)
+    ancestry = jnp.broadcast_to(
+        jnp.arange(num_beams, dtype=jnp.int32)[None, :, None],
+        (batch, num_beams, max_len),
+    )
+    return LazyDecoderCache(
+        self_k=tuple(kv for _ in range(num_layers)),
+        self_v=tuple(kv for _ in range(num_layers)),
+        cross_k=xkv, cross_v=xkv,
+        ancestry=jnp.asarray(ancestry),
         index=jnp.zeros((), jnp.int32),
     )

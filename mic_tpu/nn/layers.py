@@ -50,11 +50,18 @@ def init_embed(key, vocab: int, dim: int, std: float = 0.02) -> Params:
 
 def dense(params: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     dtype = dtype or x.dtype
-    if "kernel_q" in params:  # int8 weight-only quant (mic_tpu/ops/quant.py)
-        # XLA dequant-then-dot: measured FASTER than routing every layer dense
-        # through the fused int8 GEMM kernel (75.4 vs 81.8 captions/s — the
-        # per-call pallas dispatch in the layer scan breaks XLA's fusions);
-        # the fused kernel is reserved for the single big LM-head matmul.
+    if "kernel_q" in params and params["kernel_q"].ndim == 2:
+        # int8 weights: NATIVE int8 x int8 MXU dot with dynamic per-token
+        # activation quant — the scales hit the int32 accumulator in the dot
+        # epilogue, so no dequantized weight copy exists for XLA to hoist out
+        # of the decode loop (the bf16-dequant formulation measured parity
+        # for exactly that reason; a pallas dequant GEMM measured slower,
+        # 75.4 vs 81.8 — per-call dispatch broke XLA's fusions).
+        from mic_tpu.ops.quant import int8_dense_native
+
+        return int8_dense_native(params, x, dtype)
+    if "kernel_q" in params:  # stacked (L, in, out) inside a layer scan:
+        # dequant-then-dot (scan xs slices arrive per-layer but keep rank 3)
         kernel = (
             params["kernel_q"].astype(dtype)
             * params["kernel_scale"].astype(dtype)[..., None, :]

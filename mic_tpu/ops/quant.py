@@ -25,10 +25,11 @@ import jax.numpy as jnp
 
 def quantize_array(w: jnp.ndarray, axis: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-channel int8: returns (int8 values, f32 scales along axis)."""
-    amax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-    return q, jnp.squeeze(scale, axis=axis).astype(jnp.float32)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return q, jnp.squeeze(scale, axis=axis)
 
 
 def quantize_params_for_decode(
@@ -79,6 +80,40 @@ def quantize_params_for_decode(
         elif key in params:
             out[key] = rec(params[key])
     return out
+
+
+def quantize_rows_dynamic(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row (per-token) int8 activation quantization.
+
+    Returns (int8 values, f32 scales (..., 1)).  Pairs with int8 weights to
+    feed the MXU a NATIVE int8 x int8 dot: the v5e MXU runs int8 at 2x bf16
+    throughput and, more importantly for decode, the weights stream from HBM
+    at half the bytes — the scales multiply the int32 accumulator in the dot
+    epilogue, so there is no dequantized weight copy for XLA to hoist out of
+    the decode loop (the bf16-dequant formulation measured throughput parity
+    precisely because of that hoist)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_dense_native(
+    params: dict, x: jnp.ndarray, dtype
+) -> jnp.ndarray:
+    """x (..., in) @ int8 kernel (in, out) as a native int8 MXU dot."""
+    xq, xs = quantize_rows_dynamic(x)
+    acc = jax.lax.dot_general(
+        xq, params["kernel_q"],
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * xs * params["kernel_scale"]
+    y = y.astype(dtype)
+    if "bias" in params:
+        y = y + params["bias"].astype(dtype)
+    return y
 
 
 def dequant_dense(params: dict, dtype) -> jnp.ndarray:

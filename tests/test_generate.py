@@ -158,3 +158,25 @@ def test_jit_generate_consistent(setup):
     np.testing.assert_array_equal(
         np.asarray(eager.sequences), np.asarray(jitted.sequences)
     )
+
+
+def test_lazy_cache_matches_physical_permute(setup, monkeypatch):
+    """The ancestry-masked lazy beam cache (nn/cache.py LazyDecoderCache)
+    must produce bit-identical beam search results to the physically
+    permuted cache at several lengths/penalties."""
+    model, params, px = setup
+    for max_length, lp_ in [(MAXLEN, 1.0), (8, 0.6), (8, 2.0)]:
+        monkeypatch.setenv("MIC_TPU_LAZY_CACHE", "1")
+        lazy = model.generate(
+            params, px, max_length=max_length, num_beams=4, length_penalty=lp_
+        )
+        monkeypatch.setenv("MIC_TPU_LAZY_CACHE", "0")
+        phys = model.generate(
+            params, px, max_length=max_length, num_beams=4, length_penalty=lp_
+        )
+        np.testing.assert_array_equal(
+            np.asarray(lazy.sequences), np.asarray(phys.sequences)
+        )
+        np.testing.assert_allclose(
+            np.asarray(lazy.scores), np.asarray(phys.scores), rtol=1e-5
+        )

@@ -1,0 +1,130 @@
+"""Quality-validate the fast decode paths on a CONVERGED flagship model.
+
+Trains the flagship CLIP-ViT-B/32 + mBART-50 captioner (full 250054-wide LM
+head — real top-k shapes) on the synthetic color-naming task
+(tools/data/make_synthetic.py) on the real TPU, then scores per-language
+beam-4 BLEU with each decode configuration:
+
+  physical-exact : round-1 path (physically permuted cache, exact TopK)
+  lazy-exact     : ancestry-masked cache (nn/cache.py LazyDecoderCache)
+  lazy-approx    : + jax.lax.approx_max_k candidate selection (the default)
+
+The fast paths are quality-neutral iff all three hit the same BLEU on the
+held-out split. Results recorded in PERFORMANCE.md.
+
+  python tools/validate_fast_decode.py --data /tmp/colors --out /tmp/vrun
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data", required=True, help="make_synthetic.py output dir")
+    ap.add_argument("--out", required=True, help="training output dir")
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from mic_tpu.core.config import CaptionerConfig, DataConfig, TrainConfig
+    from mic_tpu.train.trainer import Trainer
+
+    mc = CaptionerConfig.clip_vit_b32_mbart50(dtype="bfloat16")
+    dc = DataConfig(
+        train_file=os.path.join(args.data, "train.tsv"),
+        validation_file=os.path.join(args.data, "val.tsv"),
+        images_dir=os.path.join(args.data, "images"),
+        max_seq_length=16,
+        num_workers=2,
+    )
+    tc = TrainConfig(
+        output_dir=args.out, num_epochs=args.epochs,
+        per_device_batch_size=args.batch, learning_rate=args.lr,
+        warmup_steps=60, logging_steps=20, eval_steps=10**9,
+        save_steps=10**9, seed=0, gen_eval=False,
+    )
+    trainer = Trainer(mc, dc, tc)
+    # minimal save-free loop (trainer.train() writes the 6.6 GB full-state
+    # checkpoint + model export at the end — pointless for a validation run)
+    train_loader, eval_loaders = trainer.make_loaders()
+    trainer.build(len(train_loader))
+    state = trainer.init_or_resume(train_loader)
+    step = 0
+    while train_loader.epoch < tc.num_epochs:
+        for dev_batch, _ in trainer._device_prefetch(train_loader):
+            state, metrics = trainer.p_train_step(state, dev_batch)
+            step += 1
+            if step % tc.logging_steps == 0:
+                print(f"step {step} loss {float(metrics['loss']):.4f}", flush=True)
+    trainer.tc = tc.replace(gen_eval=True)
+
+    results = {}
+    modes = {
+        "physical-exact": {
+            "MIC_TPU_EXACT_TOPK": "1", "MIC_TPU_LAZY_CACHE": "0",
+            "MIC_TPU_DECODE_QUANT": "",
+        },
+        "lazy-exact": {
+            "MIC_TPU_EXACT_TOPK": "1", "MIC_TPU_LAZY_CACHE": "1",
+            "MIC_TPU_DECODE_QUANT": "",
+        },
+        "lazy-approx": {
+            "MIC_TPU_EXACT_TOPK": "0", "MIC_TPU_LAZY_CACHE": "1",
+            "MIC_TPU_DECODE_QUANT": "",
+        },
+        "lazy-approx-int8": {
+            "MIC_TPU_EXACT_TOPK": "0", "MIC_TPU_LAZY_CACHE": "1",
+            "MIC_TPU_DECODE_QUANT": "int8",
+        },
+    }
+    for name, env in modes.items():
+        os.environ.update(env)
+        trainer.build(steps_per_epoch=1)  # re-jit generate under this mode
+        metrics = trainer.evaluate(state.params, eval_loaders)
+        results[name] = {
+            k: round(v, 4) for k, v in metrics.items() if "bleu" in k
+        }
+        print(name, json.dumps(results[name]), flush=True)
+        # a few decoded samples so convergence failures are diagnosable
+        import jax
+        import numpy as np
+        lang, loader = next(iter(eval_loaders.items()))
+        loader.next_batch = 0
+        batch = next(loader.epoch_iterator(epoch=0))
+        batch, n_real = trainer._pad_to_multiple(dict(batch), trainer.eval_batch)
+        dev = trainer._put_batch(batch)
+        seqs = trainer.p_generate_step(
+            state.params, dev["pixel_values"],
+            jax.numpy.asarray(trainer.tokenizer.lang_code_to_id[lang],
+                              jax.numpy.int32),
+        )
+        pred = trainer.tokenizer.batch_decode(np.asarray(seqs)[:3])
+        ref = trainer.tokenizer.batch_decode(np.asarray(batch["labels"])[:3])
+        for p_, r_ in zip(pred, ref):
+            print(f"  {lang} pred={p_!r} ref={r_!r}", flush=True)
+    trainer.ckpt.close()
+
+    bleu1 = {
+        name: [v for k, v in r.items() if k.endswith("bleu-1")]
+        for name, r in results.items()
+    }
+    print(json.dumps({"results": results}))
+    ref = bleu1["physical-exact"]
+    for name, vals in bleu1.items():
+        if name == "lazy-approx-int8":
+            continue  # int8 is opt-in: reported above, not gating defaults
+        assert all(abs(a - b) <= 0.02 for a, b in zip(vals, ref)), (
+            f"{name} BLEU-1 deviates from physical-exact: {vals} vs {ref}"
+        )
+    print("VALIDATION PASSED: default decode modes BLEU-equivalent")
+
+
+if __name__ == "__main__":
+    main()
