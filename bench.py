@@ -94,6 +94,26 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # -- int8 weight-only decode (opt-in path, BLEU-validated by
+    # tools/validate_fast_decode.py) at the same batch -----------------------
+    int8_per_chip = None
+    if not SKIP_LATENCY and os.environ.get("MIC_TPU_DECODE_QUANT") != "int8":
+        @jax.jit
+        def caption_int8(params, images_u8):
+            pixels = maybe_preprocess(
+                images_u8, config.vision.image_size, model.dtype
+            )
+            return model.generate(
+                params, pixels,
+                max_length=MAX_LENGTH, num_beams=NUM_BEAMS,
+                forced_bos_token_id=250004, quantize="int8",
+            ).sequences
+
+        np.asarray(caption_int8(params, batches[0]))
+        dt8 = _measure(caption_int8, params, batches[1:], reps)
+        int8_per_chip = round(BATCH / dt8, 2)
+        print(f"int8 weights: step={dt8*1e3:.1f}ms", file=sys.stderr)
+
     # -- serving p50: batch=1 -------------------------------------------------
     p50_ms = None
     if not SKIP_LATENCY:
@@ -114,6 +134,8 @@ def main() -> None:
     }
     if p50_ms is not None:
         out["p50_latency_ms_batch1"] = p50_ms
+    if int8_per_chip is not None:
+        out["captions_per_sec_int8_weights"] = int8_per_chip
     print(json.dumps(out))
 
 

@@ -114,6 +114,15 @@ class CaptionLoader:
         self.epoch = 0
         self.next_batch = 0
         self._pool = None
+        if getattr(tokenizer, "needs_fit", False):
+            # Freeze an on-demand vocab DETERMINISTICALLY (dataset order)
+            # before anything is tokenized. Without this, each spawn worker
+            # grows its own pickled tokenizer copy in batch-arrival order and
+            # the same word gets different ids across workers (and vs the
+            # main process that decodes) — scrambled training targets.
+            tokenizer.fit(
+                dataset[i].caption for i in range(len(dataset))
+            )
 
     # -- resumable position --------------------------------------------------
 

@@ -119,6 +119,24 @@ class SimpleTokenizer(TokenizerBase):
     def freeze(self):
         self._frozen = True
 
+    @property
+    def needs_fit(self) -> bool:
+        """True until the vocab is frozen. An UNFROZEN SimpleTokenizer must
+        never be handed to multiprocessing workers: each worker would grow
+        its own pickled copy in batch-arrival order, silently assigning
+        DIFFERENT ids to the same word across workers (and vs the main
+        process that later decodes) — the model then trains on scrambled
+        targets. CaptionLoader fits+freezes it deterministically up front."""
+        return not self._frozen
+
+    def fit(self, texts) -> None:
+        """Populate the vocab from an iterable of texts in order, then
+        freeze. Unseen words at encode time map to <unk> afterwards."""
+        for t in texts:
+            for w in self._words(t):
+                self._word_id(w)
+        self.freeze()
+
     def encode_targets(self, texts, langs, max_length):
         ids = np.full((len(texts), max_length), self.pad_token_id, np.int32)
         mask = np.zeros((len(texts), max_length), np.int32)

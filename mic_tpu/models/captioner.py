@@ -235,7 +235,7 @@ class Captioner:
 
     def init_decode_cache(
         self, params: Params, enc_states: jnp.ndarray, max_length: int,
-        beams: int = 1, lazy: bool = False,
+        beams: int = 1, lazy: bool = False, kv_quant: Optional[str] = None,
     ) -> DecoderCache:
         """enc_states is TRUE-batch (B, S, D): the cross-attention cache keeps
         one K/V copy per image; only the self-attention cache is per-beam.
@@ -249,7 +249,7 @@ class Captioner:
         if lazy:
             empty = init_lazy_cache(
                 cfg.num_layers, batch, beams, max_length, enc_len,
-                cfg.num_heads, cfg.head_dim, self.dtype,
+                cfg.num_heads, cfg.head_dim, self.dtype, kv_quant=kv_quant,
             )
         else:
             empty = init_cache(
@@ -282,6 +282,9 @@ class Captioner:
         quantize = overrides.pop("quantize", None) or os.environ.get(
             "MIC_TPU_DECODE_QUANT"
         )
+        kv_quant = overrides.pop("kv_quant", None) or os.environ.get(
+            "MIC_TPU_KV_QUANT"
+        ) or None
         gen = self.config.generation.replace(**overrides)
         dec = self.config.decoder
         start = (
@@ -318,7 +321,8 @@ class Captioner:
             os.environ.get("MIC_TPU_LAZY_CACHE", "1") == "1"
         )
         cache = self.init_decode_cache(
-            params, enc_states, gen.max_length, beams=gen.num_beams, lazy=lazy
+            params, enc_states, gen.max_length, beams=gen.num_beams, lazy=lazy,
+            kv_quant=kv_quant if lazy else None,  # quant KV is lazy-path only
         )
 
         def step_fn(token_ids, cache):

@@ -48,6 +48,26 @@ import os
 _FUSED_DECODE = os.environ.get("MIC_TPU_FUSED_DECODE", "0") == "1"
 
 
+def _attn_buckets(max_len: int) -> tuple:
+    """Static cache-read prefix lengths for the lazy decode attention.
+
+    ``MIC_TPU_ATTN_BUCKETS`` — "auto" uses half/full, or a comma list like
+    "16,32,64"; default/""/"0" disables (full-window reads). At step index
+    only index+1 positions are live, so the shortest covering prefix should
+    save ~25% of the cache stream (bit-identical results — masked tails
+    contribute exact zeros to the softmax). MEASURED NEGATIVE at the
+    flagship config (166.8 vs 169.2 captions/s/chip at batch 128, half/full
+    buckets): XLA re-materializes the sliced operands around the switch
+    branches, costing more than the skipped tail reads. Kept as an opt-in
+    documented knob; may win at much longer max_length."""
+    spec = os.environ.get("MIC_TPU_ATTN_BUCKETS", "0")
+    if spec in ("", "0"):
+        return ()
+    if spec == "auto":
+        return (max_len // 2, max_len) if max_len >= 16 else ()
+    return tuple(int(s) for s in spec.split(","))
+
+
 class DecoderTowerOutput(NamedTuple):
     """Structured decoder output (reference surface: output_hidden_states /
     output_attentions of FlaxMBartDecoder through
@@ -332,6 +352,7 @@ def _decoder_step_lazy(
     act = ACTIVATIONS[cfg.activation]
     index = cache.index
     post = cfg.post_norm
+    buckets = _attn_buckets(cache.max_len)
 
     x = embed_tokens(shared, token_ids, cfg, dtype)
     pos = jnp.full(token_ids.shape, index, token_ids.dtype)
@@ -350,7 +371,7 @@ def _decoder_step_lazy(
             x = layer_norm(p["ln_self"], x, eps)
         x, sk, sv = mha_decode_step_lazy(
             p["self_attn"], x, cache.self_k[l], cache.self_v[l],
-            cache.ancestry, index, cfg.num_heads, beams,
+            cache.ancestry, index, cfg.num_heads, beams, buckets=buckets,
         )
         new_k.append(sk)
         new_v.append(sv)

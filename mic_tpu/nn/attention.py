@@ -140,6 +140,7 @@ def mha_decode_step_lazy(
     index: jnp.ndarray,      # scalar int32: position being written
     num_heads: int,
     beams: int,
+    buckets: tuple = (),     # static read-prefix lengths; () = full window
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Cached beam self-attention without physical cache reordering.
 
@@ -161,23 +162,85 @@ def mha_decode_step_lazy(
     q = dense(params["q"], x) * (head_dim**-0.5)
     q = q.reshape(b, beams * one, num_heads, head_dim)          # (B, K, H, Dh)
     k_step, v_step = project_kv(params, x, num_heads)           # (BK, 1, H, Dh)
-    cache_k = jax.lax.dynamic_update_slice(cache_k, k_step, (0, index, 0, 0))
-    cache_v = jax.lax.dynamic_update_slice(cache_v, v_step, (0, index, 0, 0))
-    t = cache_k.shape[1]
-    kg = cache_k.reshape(b, beams, t, num_heads, head_dim)      # (B, J, T, H, Dh)
-    vg = cache_v.reshape(b, beams, t, num_heads, head_dim)
-    scores = jnp.einsum(
-        "bkhd,bjthd->bhkjt", q, kg, preferred_element_type=jnp.float32
-    )                                                           # (B, H, K, J, T)
-    live = jnp.arange(t) <= index                               # (T,)
-    sel = ancestry[..., None] == jnp.arange(beams, dtype=jnp.int32)  # (B, K, T, J)
-    mask = (sel & live[None, None, :, None]).transpose(0, 1, 3, 2)   # (B, K, J, T)
-    scores = jnp.where(mask[:, None], scores, jnp.finfo(jnp.float32).min)
-    w = jax.nn.softmax(scores.reshape(b, num_heads, beams, beams * t), axis=-1)
-    w = w.reshape(b, num_heads, beams, beams, t).astype(x.dtype)
-    out = jnp.einsum(
-        "bhkjt,bjthd->bkhd", w, vg, preferred_element_type=x.dtype
-    )
+    quant = isinstance(cache_k, dict)
+    if quant:
+        # int8 KV cache: per-(row, position, head) scales; halves the decode
+        # loop's dominant HBM stream (the cache read). The int8->compute
+        # convert fuses into the einsum operand loads; scales multiply the
+        # SMALL scores/weights tensors, never a cache-sized one.
+        from mic_tpu.ops.quant import quantize_rows_dynamic
+
+        kq8, ks = quantize_rows_dynamic(k_step)                 # (BK,1,H,Dh),(BK,1,H,1)
+        vq8, vs = quantize_rows_dynamic(v_step)
+        cache_k = {
+            "q": jax.lax.dynamic_update_slice(cache_k["q"], kq8, (0, index, 0, 0)),
+            "s": jax.lax.dynamic_update_slice(
+                cache_k["s"], ks[..., 0], (0, index, 0)
+            ),
+        }
+        cache_v = {
+            "q": jax.lax.dynamic_update_slice(cache_v["q"], vq8, (0, index, 0, 0)),
+            "s": jax.lax.dynamic_update_slice(
+                cache_v["s"], vs[..., 0], (0, index, 0)
+            ),
+        }
+        t = cache_k["q"].shape[1]
+    else:
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k_step, (0, index, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v_step, (0, index, 0, 0))
+        t = cache_k.shape[1]
+
+    def attend(tb: int) -> jnp.ndarray:
+        """Attention over the first tb cache positions (static prefix).
+        Masked positions contribute exp(NEG)==0 to the softmax sum, so every
+        bucket computes bit-identical results — shorter ones just stream
+        fewer cache bytes."""
+        if quant:
+            kg = cache_k["q"][:, :tb].reshape(b, beams, tb, num_heads, head_dim)
+            vg = cache_v["q"][:, :tb].reshape(b, beams, tb, num_heads, head_dim)
+            # (B, J, tb, H) -> (B, H, 1, J, tb) to scale scores/weights
+            ksc = cache_k["s"][:, :tb].reshape(b, beams, tb, num_heads)
+            ksc = ksc.transpose(0, 3, 1, 2)[:, :, None]
+            vsc = cache_v["s"][:, :tb].reshape(b, beams, tb, num_heads)
+            vsc = vsc.transpose(0, 3, 1, 2)[:, :, None]
+        else:
+            kg = cache_k[:, :tb].reshape(b, beams, tb, num_heads, head_dim)
+            vg = cache_v[:, :tb].reshape(b, beams, tb, num_heads, head_dim)
+        scores = jnp.einsum(
+            "bkhd,bjthd->bhkjt", q, kg.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )                                                       # (B, H, K, J, tb)
+        if quant:
+            scores = scores * ksc
+        live = jnp.arange(tb) <= index                          # (tb,)
+        sel = ancestry[:, :, :tb, None] == jnp.arange(beams, dtype=jnp.int32)
+        mask = (sel & live[None, None, :, None]).transpose(0, 1, 3, 2)
+        scores = jnp.where(mask[:, None], scores, jnp.finfo(jnp.float32).min)
+        w = jax.nn.softmax(
+            scores.reshape(b, num_heads, beams, beams * tb), axis=-1
+        )
+        w = w.reshape(b, num_heads, beams, beams, tb)
+        if quant:
+            w = w * vsc
+        w = w.astype(x.dtype)
+        return jnp.einsum(
+            "bhkjt,bjthd->bkhd", w, vg.astype(x.dtype),
+            preferred_element_type=x.dtype,
+        )
+
+    if buckets:
+        # read-only prefix buckets: pick the shortest static prefix covering
+        # index+1 live positions with a lax.switch. Only the (B,K,H,Dh)
+        # attention OUTPUT crosses the switch boundary — the cache buffers do
+        # not, so the while-loop carry aliasing that sank the physical-cache
+        # bucketed permute (beam_permute_matmul_prefix) cannot trigger here.
+        bs = tuple(sorted(min(tb, t) for tb in buckets))
+        if bs[-1] != t:
+            bs = bs + (t,)
+        idx = jnp.sum(jnp.asarray(bs[:-1], jnp.int32) < index + 1)
+        out = jax.lax.switch(idx, [lambda tb=tb: attend(tb) for tb in bs])
+    else:
+        out = attend(t)
     return dense(params["o"], out.reshape(bk, one, d)), cache_k, cache_v
 
 

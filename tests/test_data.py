@@ -152,3 +152,39 @@ def test_loader_bounded_prefetch_window(tmp_path):
     for x, y in zip(sync, got):
         np.testing.assert_array_equal(x["labels"], y["labels"])
         np.testing.assert_array_equal(x["pixel_values"], y["pixel_values"])
+
+
+def test_unfrozen_tokenizer_fit_frozen_before_workers(tmp_path):
+    """Regression: an unfrozen SimpleTokenizer handed to a multiprocess
+    loader must be deterministically fit+frozen up front. Without it, each
+    spawn worker grows its own pickled copy in batch-arrival order and the
+    same word gets different ids across workers (scrambled targets —
+    observed as language-mixed captions on the 4-language TPU validation
+    run). Worker-produced ids must decode with the MAIN-process tokenizer
+    back to the original captions."""
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rows = []
+    caps = ["a red square", "un carre rouge", "ein rotes quadrat",
+            "un cuadrado rojo"]
+    for i in range(16):
+        name = f"i{i}.png"
+        Image.fromarray(np.zeros((20, 20, 3), np.uint8)).save(img_dir / name)
+        rows.append(f"{name}\t{caps[i % 4]}\turl\ten_XX")
+    tsv = tmp_path / "d.tsv"
+    tsv.write_text("\n".join(rows))
+
+    ds = CaptionDataset(str(tsv), str(img_dir))
+    tk = SimpleTokenizer()
+    loader = CaptionLoader(
+        ds, tk, batch_size=4, image_size=20, max_length=8,
+        shuffle=True, seed=3, num_workers=2,
+    )
+    assert not tk.needs_fit  # frozen by the loader before any worker ran
+    decoded = []
+    for batch in loader.epoch_iterator(epoch=0):
+        decoded.extend(tk.batch_decode(batch["labels"]))
+    loader.close()
+    assert sorted(set(decoded)) == sorted(set(caps))

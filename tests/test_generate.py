@@ -180,3 +180,20 @@ def test_lazy_cache_matches_physical_permute(setup, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(lazy.scores), np.asarray(phys.scores), rtol=1e-5
         )
+
+
+def test_bucketed_attention_reads_match_full_window(setup, monkeypatch):
+    """Prefix-bucketed cache reads (MIC_TPU_ATTN_BUCKETS) must be
+    bit-identical to full-window reads: masked tail positions contribute
+    exact zeros to the softmax regardless of the static slice length."""
+    model, params, px = setup
+    monkeypatch.setenv("MIC_TPU_ATTN_BUCKETS", "4,8,16")
+    bucketed = model.generate(params, px, max_length=16, num_beams=4)
+    monkeypatch.setenv("MIC_TPU_ATTN_BUCKETS", "0")
+    full = model.generate(params, px, max_length=16, num_beams=4)
+    np.testing.assert_array_equal(
+        np.asarray(bucketed.sequences), np.asarray(full.sequences)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bucketed.scores), np.asarray(full.scores)
+    )

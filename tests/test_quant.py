@@ -60,3 +60,30 @@ def test_teacher_forced_logits_close_after_quant():
     b = model(qp, px, ids, mask)
     # int8 per-channel on a tiny model: logits deviate mildly
     assert float(jnp.max(jnp.abs(a - b))) < 0.15
+
+
+def test_kv_quant_int8_close_to_fp(monkeypatch):
+    """int8 KV cache (LazyDecoderCache quant layout): beam outputs should
+    match the fp cache on a model with clear logit margins (random tiny
+    model, f32 — quantization noise ~0.4% must not flip decisions here)."""
+    import jax
+    import numpy as np
+
+    from mic_tpu.core.config import CaptionerConfig, DecoderConfig, VisionConfig
+    from mic_tpu.models.captioner import Captioner
+
+    config = CaptionerConfig(
+        vision=VisionConfig.tiny(),
+        decoder=DecoderConfig.tiny(vocab_size=64, max_position_embeddings=32),
+        tie_word_embeddings=True,
+    )
+    model = Captioner(config)
+    params = model.init_params(jax.random.PRNGKey(1))
+    px = np.random.default_rng(1).normal(size=(2, 32, 32, 3)).astype(np.float32)
+
+    fp = model.generate(params, px, max_length=12, num_beams=4)
+    q = model.generate(params, px, max_length=12, num_beams=4, kv_quant="int8")
+    assert (np.asarray(fp.sequences) == np.asarray(q.sequences)).mean() > 0.9
+    np.testing.assert_allclose(
+        np.asarray(fp.scores), np.asarray(q.scores), rtol=0.1, atol=0.2
+    )

@@ -27,26 +27,27 @@ COLOR_RGB = {
 }
 
 # caption templates per language (lang ids: the reference's 4 training
-# languages, reference README.md:21)
+# languages, reference README.md:21). Kept short: a from-scratch flagship
+# must learn the image->color mapping within a few hundred steps
 CAPTIONS = {
-    "en_XX": "a {c} square on a plain background",
+    "en_XX": "a {c} square",
     "fr_XX": {
-        "red": "un carre rouge sur fond uni",
-        "green": "un carre vert sur fond uni",
-        "blue": "un carre bleu sur fond uni",
-        "yellow": "un carre jaune sur fond uni",
+        "red": "un carre rouge",
+        "green": "un carre vert",
+        "blue": "un carre bleu",
+        "yellow": "un carre jaune",
     },
     "de_DE": {
-        "red": "ein rotes quadrat auf einfarbigem hintergrund",
-        "green": "ein gruenes quadrat auf einfarbigem hintergrund",
-        "blue": "ein blaues quadrat auf einfarbigem hintergrund",
-        "yellow": "ein gelbes quadrat auf einfarbigem hintergrund",
+        "red": "ein rotes quadrat",
+        "green": "ein gruenes quadrat",
+        "blue": "ein blaues quadrat",
+        "yellow": "ein gelbes quadrat",
     },
     "es_XX": {
-        "red": "un cuadrado rojo sobre fondo liso",
-        "green": "un cuadrado verde sobre fondo liso",
-        "blue": "un cuadrado azul sobre fondo liso",
-        "yellow": "un cuadrado amarillo sobre fondo liso",
+        "red": "un cuadrado rojo",
+        "green": "un cuadrado verde",
+        "blue": "un cuadrado azul",
+        "yellow": "un cuadrado amarillo",
     },
 }
 

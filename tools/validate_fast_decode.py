@@ -33,16 +33,34 @@ def main() -> None:
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from mic_tpu.core.config import CaptionerConfig, DataConfig, TrainConfig
+    from mic_tpu.core.config import (
+        CaptionerConfig,
+        DataConfig,
+        TrainConfig,
+        VisionConfig,
+    )
     from mic_tpu.train.trainer import Trainer
 
-    mc = CaptionerConfig.clip_vit_b32_mbart50(dtype="bfloat16")
+    # Decode-mode equivalence is a DECODER-side question (vocab width 250054,
+    # d_model 1024, 12 layers, beam cache shapes) — keep the full mBART-50
+    # decoder but swap in a tiny vision tower: a from-scratch CLIP-B/32 needs
+    # thousands of steps to learn even solid colors, while the tiny tower
+    # converges in minutes and yields the peaked, realistic logit profiles
+    # the validation needs.
+    flagship = CaptionerConfig.clip_vit_b32_mbart50(dtype="bfloat16")
+    mc = CaptionerConfig(
+        vision=VisionConfig.tiny(),
+        decoder=flagship.decoder,
+        tie_word_embeddings=True,
+        dtype="bfloat16",
+    )
     dc = DataConfig(
         train_file=os.path.join(args.data, "train.tsv"),
         validation_file=os.path.join(args.data, "val.tsv"),
         images_dir=os.path.join(args.data, "images"),
         max_seq_length=16,
         num_workers=2,
+        decode_size=mc.vision.image_size,
     )
     tc = TrainConfig(
         output_dir=args.out, num_epochs=args.epochs,
@@ -89,7 +107,9 @@ def main() -> None:
         trainer.build(steps_per_epoch=1)  # re-jit generate under this mode
         metrics = trainer.evaluate(state.params, eval_loaders)
         results[name] = {
-            k: round(v, 4) for k, v in metrics.items() if "bleu" in k
+            k: round(v, 4)
+            for k, v in metrics.items()
+            if "bleu" in k or k.endswith("loss")
         }
         print(name, json.dumps(results[name]), flush=True)
         # a few decoded samples so convergence failures are diagnosable
