@@ -91,6 +91,24 @@ def _segmented_topk(logits: jnp.ndarray, k: int, seg: int):
 StepFn = Callable[[jnp.ndarray, DecoderCache], tuple[jnp.ndarray, DecoderCache]]
 
 
+class CandidateHead(NamedTuple):
+    """Fused candidate selection for greedy/beam search.
+
+    When provided, ``step_fn`` returns the decoder's final HIDDEN states
+    (N, D) instead of dense logits, and candidate selection runs through the
+    fused LM-head kernel (ops/fused_head.py): one weight stream per step,
+    logits never materialized.  Sampling still needs dense logits and does
+    not use this.
+
+    topk(hidden, k)      -> (log_probs (N, k) f32, ids (N, k) i32)
+    token_lp(hidden, tok)-> (N,) log-prob of a single forced token id
+    """
+
+    topk: Callable
+    token_lp: Callable
+    vocab_size: int
+
+
 class ProcessorSpec(NamedTuple):
     """Static description of the supported logits constraints."""
 
@@ -117,15 +135,43 @@ def _logsumexp(logits32: jnp.ndarray) -> jnp.ndarray:
 
 
 def _candidates(
-    logits: jnp.ndarray,          # (N, V) raw logits, any float dtype
-    k: int,
+    logits: jnp.ndarray,          # (N, V) raw logits — or (N, D) hidden
+    k: int,                       # states when `head` is provided
     cur_len: jnp.ndarray,
     spec: ProcessorSpec,
+    head: Optional[CandidateHead] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k candidate (log_probs (N,k), token_ids (N,k)) per row, honoring
     forced tokens (cond branch, no top-k) and min-length EOS blocking."""
     n = logits.shape[0]
     forced_tok = spec.forced_token_at(cur_len)
+
+    if head is not None:
+        def normal_h(_):
+            lp, ids = head.topk(logits, k)
+            return lp, ids.astype(jnp.int32)
+
+        def forced_h(tok):
+            val = head.token_lp(logits, tok).astype(jnp.float32)  # (N,)
+            ids = jnp.full((n, k), tok, jnp.int32)
+            vals = jnp.concatenate(
+                [val[:, None], jnp.full((n, k - 1), NEG_INF, jnp.float32)],
+                axis=-1,
+            )
+            return vals, ids
+
+        if spec.forced:
+            cand_lp, cand_ids = jax.lax.cond(
+                forced_tok >= 0, forced_h, normal_h, forced_tok
+            )
+        else:
+            cand_lp, cand_ids = normal_h(None)
+        if spec.min_length > 0:
+            blocked = (cur_len < spec.min_length) & (
+                cand_ids == spec.eos_token_id
+            )
+            cand_lp = jnp.where(blocked, NEG_INF, cand_lp)
+        return cand_lp, cand_ids
 
     mode = _topk_mode()
 
@@ -202,6 +248,7 @@ def _sequential_search(
     do_sample: bool,
     warpers: Processor,
     rng: Optional[jax.Array],
+    head: Optional[CandidateHead] = None,
 ) -> GenerateOutput:
     sequences = jnp.full((batch, max_length), pad_token_id, jnp.int32)
     sequences = sequences.at[:, 0].set(start_token_id)
@@ -233,7 +280,7 @@ def _sequential_search(
         else:
             rng = s.rng
             # top-2 candidates: enough to skip EOS under min_length
-            cand_lp, cand_ids = _candidates(logits, 2, s.cur_len, spec)
+            cand_lp, cand_ids = _candidates(logits, 2, s.cur_len, spec, head)
             token = cand_ids[:, 0]
             token_score = cand_lp[:, 0]
             pick_second = cand_lp[:, 0] <= NEG_INF / 2
@@ -311,6 +358,7 @@ def _beam_search(
     spec: ProcessorSpec,
     length_penalty: float,
     early_stopping: bool,
+    head: Optional[CandidateHead] = None,
 ) -> GenerateOutput:
     K = num_beams
     B = batch
@@ -351,12 +399,12 @@ def _beam_search(
             s.running_sequences, s.cur_len - 1, 1, axis=2
         ).reshape(B * K, 1)
         logits, cache = step_fn(prev, s.cache)
-        vocab = logits.shape[-1]
+        vocab = head.vocab_size if head is not None else logits.shape[-1]
 
         # per-beam candidates in the natural (B*K, V) layout; 2K+1 so that
         # min-length EOS filtering still leaves 2K viable candidates
         kc = min(2 * K + 1, vocab)
-        cand_lp, cand_ids = _candidates(logits, kc, s.cur_len, spec)
+        cand_lp, cand_ids = _candidates(logits, kc, s.cur_len, spec, head)
         cand_total = cand_lp + s.running_scores.reshape(B * K, 1)
 
         # global 2K candidates per batch group from the tiny K*kc pool
@@ -449,6 +497,7 @@ def generate(
     length_penalty: float = 1.0,
     early_stopping: bool = False,
     rng: Optional[jax.Array] = None,
+    head: Optional[CandidateHead] = None,
 ) -> GenerateOutput:
     """Dispatch greedy / sample / beam search (reference surface:
     generation_clip_vision_utils.py:128-336). `cache.batch` must equal `batch`
@@ -463,11 +512,12 @@ def generate(
             max_length=max_length, start_token_id=start_token_id,
             eos_token_id=eos_token_id, pad_token_id=pad_token_id,
             spec=spec, length_penalty=length_penalty,
-            early_stopping=early_stopping,
+            early_stopping=early_stopping, head=head,
         )
     return _sequential_search(
         step_fn, cache, batch,
         max_length=max_length, start_token_id=start_token_id,
         eos_token_id=eos_token_id, pad_token_id=pad_token_id,
         spec=spec, do_sample=do_sample, warpers=warpers, rng=rng,
+        head=None if do_sample else head,
     )

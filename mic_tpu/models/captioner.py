@@ -325,8 +325,55 @@ class Captioner:
             kv_quant=kv_quant if lazy else None,  # quant KV is lazy-path only
         )
 
-        def step_fn(token_ids, cache):
-            return self.decode_step(params, token_ids, cache, beams=gen.num_beams)
+        # Fused LM head (ops/fused_head.py): step_fn returns HIDDEN states
+        # and candidate selection runs GEMM + online top-k/lse in one Pallas
+        # pass — logits are never materialized (saves ~2.8 ms/step of logits
+        # HBM traffic at the flagship batch-128 config). Tied-embedding,
+        # non-sampling paths only; MIC_TPU_FUSED_HEAD=0 opts out.
+        fused_head = (
+            not gen.do_sample
+            and self.config.tie_word_embeddings
+            and quantize != "int8"  # int8 shared table: dense path handles it
+            and os.environ.get("MIC_TPU_FUSED_HEAD", "0") == "1"
+        )
+        if fused_head:
+            from mic_tpu.ops.fused_head import fused_head_topk
+
+            weight = params["shared"]["embedding"]
+            bias = params["final_logits_bias"].reshape(-1)
+
+            def step_fn(token_ids, cache):
+                hidden, cache = mbart_decoder.decoder_step(
+                    params["decoder"], params["shared"], token_ids, cache,
+                    self.config.decoder, self.dtype, beams=gen.num_beams,
+                )
+                return hidden[:, 0, :], cache
+
+            def head_topk(hidden, k):
+                lp, ids, _ = fused_head_topk(hidden, weight, bias, k)
+                return lp, ids
+
+            def head_token_lp(hidden, tok):
+                # one weight ROW + the row lse (kernel pass with k=1)
+                _, _, lse = fused_head_topk(hidden, weight, bias, 1)
+                w_row = jnp.take(weight, tok, axis=0).astype(hidden.dtype)
+                logit = (
+                    jnp.dot(hidden, w_row, preferred_element_type=jnp.float32)
+                    + bias[tok].astype(jnp.float32)
+                )
+                return logit - lse[:, 0]
+
+            head = search.CandidateHead(
+                topk=head_topk, token_lp=head_token_lp,
+                vocab_size=dec.vocab_size,
+            )
+        else:
+            head = None
+
+            def step_fn(token_ids, cache):
+                return self.decode_step(
+                    params, token_ids, cache, beams=gen.num_beams
+                )
 
         forced = []
         if gen.forced_bos_token_id is not None:
@@ -348,7 +395,7 @@ class Captioner:
             num_beams=gen.num_beams, do_sample=gen.do_sample,
             spec=spec, warpers=warpers,
             length_penalty=gen.length_penalty, early_stopping=gen.early_stopping,
-            rng=rng,
+            rng=rng, head=head,
         )
 
     # -- persistence (full save/load lives in mic_tpu/io) --------------------

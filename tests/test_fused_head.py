@@ -1,0 +1,66 @@
+"""Fused LM-head + top-k + logsumexp (ops/fused_head.py).
+
+On CPU the op lowers to the dense formulation, so these tests pin the API
+contract and the captioner-level plumbing (step_fn returning hidden states,
+CandidateHead selection incl. forced-token branches); the Pallas kernel's
+bit-level agreement with the dense oracle is checked on real TPU by
+tools/validate_fast_decode.py and the kernel check in PERFORMANCE.md.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mic_tpu.ops.fused_head import fused_head_topk
+
+
+def test_matches_dense_oracle():
+    rng = np.random.default_rng(0)
+    n, d, v = 16, 32, 999
+    hidden = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(v,)).astype(np.float32))
+    lp, ids, lse = fused_head_topk(hidden, w, bias, 5)
+    logits = hidden @ w.T + bias
+    ov, oi = jax.lax.top_k(logits, 5)
+    olse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(oi))
+    np.testing.assert_allclose(
+        np.asarray(lp), np.asarray(ov - olse), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(olse), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("num_beams", [1, 4])
+def test_captioner_fused_head_matches_dense(num_beams, monkeypatch):
+    """Full generate with MIC_TPU_FUSED_HEAD=1 must match the dense-logits
+    path, including the forced-BOS/EOS cond branches."""
+    from mic_tpu.core.config import CaptionerConfig, DecoderConfig, VisionConfig
+    from mic_tpu.models.captioner import Captioner
+
+    config = CaptionerConfig(
+        vision=VisionConfig.tiny(),
+        decoder=DecoderConfig.tiny(vocab_size=64, max_position_embeddings=32),
+        tie_word_embeddings=True,
+    )
+    model = Captioner(config)
+    params = model.init_params(jax.random.PRNGKey(2))
+    px = np.random.default_rng(2).normal(size=(2, 32, 32, 3)).astype(np.float32)
+
+    kw = dict(
+        max_length=10, num_beams=num_beams, forced_bos_token_id=7,
+        forced_eos_token_id=2, min_length=4,
+    )
+    monkeypatch.setenv("MIC_TPU_FUSED_HEAD", "1")
+    fused = model.generate(params, px, **kw)
+    monkeypatch.setenv("MIC_TPU_FUSED_HEAD", "0")
+    dense = model.generate(params, px, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(fused.sequences), np.asarray(dense.sequences)
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.scores), np.asarray(dense.scores), rtol=1e-5
+    )
