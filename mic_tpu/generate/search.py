@@ -226,6 +226,38 @@ def _candidates(
 # greedy & sampling
 
 
+def _run_segmented(cond, body, state, cache_segments: tuple):
+    """Drive the decode while_loop in phases over growing cache sizes.
+
+    With ``cache_segments`` (increasing static cache lengths, the last one
+    covering max_length-1 write positions), each phase is its own while_loop
+    whose traced body sees that phase's SMALLER static cache shape — early
+    steps stream a prefix-sized K/V cache instead of the full max_length
+    buffer.  Between phases the cache is padded once (cache.grow).  Unlike
+    the measured-slower lax.switch read-prefix buckets (PERFORMANCE.md), the
+    per-phase shapes are genuinely different arrays, so XLA cannot
+    re-materialize sliced operands around branches — there are no branches.
+
+    The phase bound is ``cur_len <= seg``: the body at cur_len writes cache
+    position cur_len-1, so a phase with cache length ``seg`` can safely run
+    through cur_len == seg."""
+    if not cache_segments:
+        return jax.lax.while_loop(cond, body, state)
+    for i, seg in enumerate(cache_segments):
+        last = i == len(cache_segments) - 1
+        if last:
+            seg_cond = cond
+        else:
+            def seg_cond(s, _seg=seg):
+                return cond(s) & (s.cur_len <= _seg)
+        state = jax.lax.while_loop(seg_cond, body, state)
+        if not last:
+            state = state._replace(
+                cache=state.cache.grow(cache_segments[i + 1])
+            )
+    return state
+
+
 class _SeqState(NamedTuple):
     cur_len: jnp.ndarray
     sequences: jnp.ndarray
@@ -249,6 +281,7 @@ def _sequential_search(
     warpers: Processor,
     rng: Optional[jax.Array],
     head: Optional[CandidateHead] = None,
+    cache_segments: tuple = (),
 ) -> GenerateOutput:
     sequences = jnp.full((batch, max_length), pad_token_id, jnp.int32)
     sequences = sequences.at[:, 0].set(start_token_id)
@@ -296,7 +329,7 @@ def _sequential_search(
 
     # Unroll the first step so XLA specializes the cache-fill at index 0.
     state = body(init)
-    state = jax.lax.while_loop(cond, body, state)
+    state = _run_segmented(cond, body, state, cache_segments)
     return GenerateOutput(sequences=state.sequences, scores=state.scores)
 
 
@@ -359,6 +392,7 @@ def _beam_search(
     length_penalty: float,
     early_stopping: bool,
     head: Optional[CandidateHead] = None,
+    cache_segments: tuple = (),
 ) -> GenerateOutput:
     K = num_beams
     B = batch
@@ -460,7 +494,7 @@ def _beam_search(
         )
 
     state = body(init)  # first step unrolled (cache fill at index 0)
-    state = jax.lax.while_loop(cond, body, state)
+    state = _run_segmented(cond, body, state, cache_segments)
 
     # batches with no finished beam fall back to the best running beam
     none_finished = ~jnp.any(state.is_finished, axis=1)
@@ -498,10 +532,15 @@ def generate(
     early_stopping: bool = False,
     rng: Optional[jax.Array] = None,
     head: Optional[CandidateHead] = None,
+    cache_segments: tuple = (),
 ) -> GenerateOutput:
     """Dispatch greedy / sample / beam search (reference surface:
     generation_clip_vision_utils.py:128-336). `cache.batch` must equal `batch`
-    for greedy/sample and `batch * num_beams` for beam search."""
+    for greedy/sample and `batch * num_beams` for beam search.
+
+    ``cache_segments``: optional increasing static cache lengths for phased
+    decoding (see _run_segmented); the passed-in cache must be sized to
+    ``cache_segments[0]`` and the last segment must cover max_length-1."""
     spec = spec or ProcessorSpec(eos_token_id=eos_token_id)
     warpers = warpers or build_warpers()
     if num_beams > 1:
@@ -513,6 +552,7 @@ def generate(
             eos_token_id=eos_token_id, pad_token_id=pad_token_id,
             spec=spec, length_penalty=length_penalty,
             early_stopping=early_stopping, head=head,
+            cache_segments=cache_segments,
         )
     return _sequential_search(
         step_fn, cache, batch,
@@ -520,4 +560,5 @@ def generate(
         eos_token_id=eos_token_id, pad_token_id=pad_token_id,
         spec=spec, do_sample=do_sample, warpers=warpers, rng=rng,
         head=None if do_sample else head,
+        cache_segments=cache_segments,
     )

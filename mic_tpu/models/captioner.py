@@ -33,6 +33,29 @@ from mic_tpu.nn.layers import Params, dense, init_dense, init_embed
 from typing import NamedTuple
 
 
+def _resolve_cache_segments(max_length: int) -> tuple:
+    """MIC_TPU_CACHE_SEGMENTS: "" = off, "auto" = 4 linear phases, or an
+    explicit comma list of cache lengths (e.g. "16,32,48,64").  Segments are
+    clamped/deduped to (0, max_length] and always end at max_length so every
+    write position fits; decoding shorter than max_length is phased through
+    growing static cache sizes (search._run_segmented)."""
+    raw = os.environ.get("MIC_TPU_CACHE_SEGMENTS", "")
+    if not raw:
+        return ()
+    if raw == "auto":
+        segs = [max_length * i // 4 for i in (1, 2, 3, 4)]
+    else:
+        segs = [int(s) for s in raw.split(",") if s.strip()]
+    out: list = []
+    for s in sorted(segs):
+        s = min(max(s, 1), max_length)
+        if not out or s > out[-1]:
+            out.append(s)
+    if out[-1] != max_length:
+        out.append(max_length)
+    return tuple(out) if len(out) > 1 else ()
+
+
 class EncodeOutput(NamedTuple):
     """`encode` with introspection: last_hidden_state is the PROJECTED
     (B, 1+N, d_model) states the decoder cross-attends to; hidden_states /
@@ -320,8 +343,14 @@ class Captioner:
         lazy = gen.num_beams > 1 and (
             os.environ.get("MIC_TPU_LAZY_CACHE", "1") == "1"
         )
+        # Segmented cache growth: run the decode loop in phases over growing
+        # static cache sizes so early steps stream a prefix-sized K/V cache
+        # (~38% less self-attn cache read traffic at max_length 64 with 4
+        # linear segments) — see search._run_segmented.
+        cache_segments = _resolve_cache_segments(gen.max_length)
+        first_len = cache_segments[0] if cache_segments else gen.max_length
         cache = self.init_decode_cache(
-            params, enc_states, gen.max_length, beams=gen.num_beams, lazy=lazy,
+            params, enc_states, first_len, beams=gen.num_beams, lazy=lazy,
             kv_quant=kv_quant if lazy else None,  # quant KV is lazy-path only
         )
 
@@ -333,14 +362,55 @@ class Captioner:
         fused_head = (
             not gen.do_sample
             and self.config.tie_word_embeddings
-            and quantize != "int8"  # int8 shared table: dense path handles it
             and os.environ.get("MIC_TPU_FUSED_HEAD", "0") == "1"
         )
         if fused_head:
-            from mic_tpu.ops.fused_head import fused_head_topk
+            from mic_tpu.ops.fused_head import fused_head_topk, fused_head_topk_q8
 
-            weight = params["shared"]["embedding"]
             bias = params["final_logits_bias"].reshape(-1)
+            if quantize == "int8":
+                # int8 x int8 fused head: the two measured wins compose —
+                # logits never reach HBM AND the weight stream is int8 bytes
+                from mic_tpu.ops.quant import quantize_rows_dynamic
+
+                weight_q = params["shared"]["embedding_q"]
+                weight_scale = params["shared"]["embedding_scale"]
+
+                def _head(hidden, k):
+                    return fused_head_topk_q8(
+                        hidden, weight_q, weight_scale, bias, k
+                    )
+
+                def _tok_logit(hidden, tok):
+                    # numerator must use the SAME quantized-activation dot as
+                    # the kernel/dense int8 paths, or forced-token log-probs
+                    # drift from the unfused path's
+                    xq, xs = quantize_rows_dynamic(hidden)
+                    row_q = jnp.take(weight_q, tok, axis=0)  # (D,) int8
+                    acc = jax.lax.dot_general(
+                        xq, row_q, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    return (
+                        acc.astype(jnp.float32)
+                        * xs[:, 0]
+                        * jnp.take(weight_scale, tok).astype(jnp.float32)
+                        + bias[tok].astype(jnp.float32)
+                    )
+            else:
+                weight = params["shared"]["embedding"]
+
+                def _head(hidden, k):
+                    return fused_head_topk(hidden, weight, bias, k)
+
+                def _tok_logit(hidden, tok):
+                    w_row = jnp.take(weight, tok, axis=0).astype(hidden.dtype)
+                    return (
+                        jnp.dot(
+                            hidden, w_row, preferred_element_type=jnp.float32
+                        )
+                        + bias[tok].astype(jnp.float32)
+                    )
 
             def step_fn(token_ids, cache):
                 hidden, cache = mbart_decoder.decoder_step(
@@ -350,18 +420,13 @@ class Captioner:
                 return hidden[:, 0, :], cache
 
             def head_topk(hidden, k):
-                lp, ids, _ = fused_head_topk(hidden, weight, bias, k)
+                lp, ids, _ = _head(hidden, k)
                 return lp, ids
 
             def head_token_lp(hidden, tok):
                 # one weight ROW + the row lse (kernel pass with k=1)
-                _, _, lse = fused_head_topk(hidden, weight, bias, 1)
-                w_row = jnp.take(weight, tok, axis=0).astype(hidden.dtype)
-                logit = (
-                    jnp.dot(hidden, w_row, preferred_element_type=jnp.float32)
-                    + bias[tok].astype(jnp.float32)
-                )
-                return logit - lse[:, 0]
+                _, _, lse = _head(hidden, 1)
+                return _tok_logit(hidden, tok) - lse[:, 0]
 
             head = search.CandidateHead(
                 topk=head_topk, token_lp=head_token_lp,
@@ -395,7 +460,7 @@ class Captioner:
             num_beams=gen.num_beams, do_sample=gen.do_sample,
             spec=spec, warpers=warpers,
             length_penalty=gen.length_penalty, early_stopping=gen.early_stopping,
-            rng=rng, head=head,
+            rng=rng, head=head, cache_segments=cache_segments,
         )
 
     # -- persistence (full save/load lives in mic_tpu/io) --------------------

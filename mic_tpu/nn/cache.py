@@ -93,6 +93,20 @@ class DecoderCache(NamedTuple):
             self_v=beam_permute_matmul(self.self_v, beam_indices, num_beams),
         )
 
+    def grow(self, new_len: int) -> "DecoderCache":
+        """Pad the self K/V time axis to new_len (segmented decoding: the
+        decode loop runs in phases over geometrically growing static cache
+        sizes, so early steps stream only a prefix-sized cache — a one-time
+        copy here buys a smaller per-step read for the whole next phase)."""
+        if new_len <= self.max_len:
+            return self
+        pad = [(0, 0)] * self.self_k.ndim
+        pad[2] = (0, new_len - self.max_len)
+        return self._replace(
+            self_k=jnp.pad(self.self_k, pad),
+            self_v=jnp.pad(self.self_v, pad),
+        )
+
 
 class LazyDecoderCache(NamedTuple):
     """Beam-search KV cache that is NEVER physically reordered.
@@ -157,6 +171,34 @@ class LazyDecoderCache(NamedTuple):
         )
         written = (jnp.arange(self.max_len) < self.index)[None, None, :]
         return self._replace(ancestry=jnp.where(written, gathered, ident))
+
+    def grow(self, new_len: int) -> "LazyDecoderCache":
+        """Pad the self K/V time axis (and ancestry) to new_len — see
+        DecoderCache.grow.  New positions are unwritten, so their ancestry is
+        the identity (each slot writes its own K/V there later), matching
+        beam_reorder's reset convention."""
+        cur = self.max_len
+        if new_len <= cur:
+            return self
+        ext = new_len - cur
+
+        def pad_kv(e):
+            if isinstance(e, dict):  # int8 KV: values + per-(row,pos,head) scales
+                return {
+                    "q": jnp.pad(e["q"], ((0, 0), (0, ext), (0, 0), (0, 0))),
+                    "s": jnp.pad(e["s"], ((0, 0), (0, ext), (0, 0))),
+                }
+            return jnp.pad(e, ((0, 0), (0, ext), (0, 0), (0, 0)))
+
+        b, k, _ = self.ancestry.shape
+        ident_ext = jnp.broadcast_to(
+            jnp.arange(k, dtype=jnp.int32)[None, :, None], (b, k, ext)
+        )
+        return self._replace(
+            self_k=tuple(pad_kv(e) for e in self.self_k),
+            self_v=tuple(pad_kv(e) for e in self.self_v),
+            ancestry=jnp.concatenate([self.ancestry, ident_ext], axis=2),
+        )
 
 
 def init_cache(

@@ -12,7 +12,37 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mic_tpu.ops.fused_head import fused_head_topk
+from mic_tpu.ops.fused_head import fused_head_topk, fused_head_topk_q8
+
+
+def test_q8_matches_int8_dense_oracle():
+    """fused_head_topk_q8 == the unfused native-int8 head formulation
+    (captioner.lm_logits int8 branch): same dynamic activation quant, same
+    int8 weight table, so results must agree exactly on ids and to float
+    tolerance on log-probs."""
+    from mic_tpu.ops.quant import quantize_array, quantize_rows_dynamic
+
+    rng = np.random.default_rng(1)
+    n, d, v = 16, 32, 999
+    hidden = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(v,)).astype(np.float32))
+    wq, ws = quantize_array(w, axis=1)
+    lp, ids, lse = fused_head_topk_q8(hidden, wq, ws, bias, 5)
+
+    xq, xs = quantize_rows_dynamic(hidden)
+    logits = (
+        xq.astype(np.float32) @ wq.T.astype(np.float32)
+    ) * np.asarray(xs) * np.asarray(ws)[None, :] + np.asarray(bias)
+    ov, oi = jax.lax.top_k(jnp.asarray(logits), 5)
+    olse = jax.scipy.special.logsumexp(jnp.asarray(logits), axis=-1, keepdims=True)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(oi))
+    np.testing.assert_allclose(
+        np.asarray(lp), np.asarray(ov - olse), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(olse), rtol=1e-4, atol=1e-4
+    )
 
 
 def test_matches_dense_oracle():
@@ -35,9 +65,12 @@ def test_matches_dense_oracle():
 
 
 @pytest.mark.parametrize("num_beams", [1, 4])
-def test_captioner_fused_head_matches_dense(num_beams, monkeypatch):
+@pytest.mark.parametrize("quantize", [None, "int8"])
+def test_captioner_fused_head_matches_dense(num_beams, quantize, monkeypatch):
     """Full generate with MIC_TPU_FUSED_HEAD=1 must match the dense-logits
-    path, including the forced-BOS/EOS cond branches."""
+    path, including the forced-BOS/EOS cond branches — in bf16 and in the
+    int8 weight-only decode mode (where both paths share the same quantized
+    table + dynamic activation quant, so sequences AND scores must agree)."""
     from mic_tpu.core.config import CaptionerConfig, DecoderConfig, VisionConfig
     from mic_tpu.models.captioner import Captioner
 
@@ -52,7 +85,7 @@ def test_captioner_fused_head_matches_dense(num_beams, monkeypatch):
 
     kw = dict(
         max_length=10, num_beams=num_beams, forced_bos_token_id=7,
-        forced_eos_token_id=2, min_length=4,
+        forced_eos_token_id=2, min_length=4, quantize=quantize,
     )
     monkeypatch.setenv("MIC_TPU_FUSED_HEAD", "1")
     fused = model.generate(params, px, **kw)

@@ -182,6 +182,45 @@ def test_lazy_cache_matches_physical_permute(setup, monkeypatch):
         )
 
 
+def test_segmented_cache_matches_full(setup, monkeypatch):
+    """Segmented cache growth (MIC_TPU_CACHE_SEGMENTS / search._run_segmented)
+    must be bit-identical to the single full-size-cache loop: each phase
+    computes the same attention over a prefix-sized buffer, and grow() pads
+    with positions that are masked out anyway.  Covers beam (lazy + physical)
+    and greedy, at an uneven segment split."""
+    model, params, px = setup
+    for kw in [
+        dict(max_length=16, num_beams=4),
+        dict(max_length=16, num_beams=4, length_penalty=0.6),
+        dict(max_length=16, num_beams=1),
+    ]:
+        for lazy in ("1", "0"):
+            monkeypatch.setenv("MIC_TPU_LAZY_CACHE", lazy)
+            monkeypatch.setenv("MIC_TPU_CACHE_SEGMENTS", "5,9,16")
+            seg = model.generate(params, px, **kw)
+            monkeypatch.setenv("MIC_TPU_CACHE_SEGMENTS", "")
+            full = model.generate(params, px, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(seg.sequences), np.asarray(full.sequences)
+            )
+            np.testing.assert_allclose(
+                np.asarray(seg.scores), np.asarray(full.scores), rtol=1e-6
+            )
+
+
+def test_segmented_cache_auto_and_quant(setup, monkeypatch):
+    """'auto' segment resolution + int8 KV cache survive growth (the scale
+    arrays must be padded alongside the int8 values)."""
+    model, params, px = setup
+    monkeypatch.setenv("MIC_TPU_CACHE_SEGMENTS", "auto")
+    seg = model.generate(params, px, max_length=16, num_beams=4, kv_quant="int8")
+    monkeypatch.setenv("MIC_TPU_CACHE_SEGMENTS", "")
+    full = model.generate(params, px, max_length=16, num_beams=4, kv_quant="int8")
+    np.testing.assert_array_equal(
+        np.asarray(seg.sequences), np.asarray(full.sequences)
+    )
+
+
 def test_bucketed_attention_reads_match_full_window(setup, monkeypatch):
     """Prefix-bucketed cache reads (MIC_TPU_ATTN_BUCKETS) must be
     bit-identical to full-window reads: masked tail positions contribute
