@@ -34,13 +34,20 @@ from typing import NamedTuple
 
 
 def _resolve_cache_segments(max_length: int) -> tuple:
-    """MIC_TPU_CACHE_SEGMENTS: "" = off, "auto" = 4 linear phases, or an
-    explicit comma list of cache lengths (e.g. "16,32,48,64").  Segments are
-    clamped/deduped to (0, max_length] and always end at max_length so every
-    write position fits; decoding shorter than max_length is phased through
-    growing static cache sizes (search._run_segmented)."""
-    raw = os.environ.get("MIC_TPU_CACHE_SEGMENTS", "")
-    if not raw:
+    """MIC_TPU_CACHE_SEGMENTS: "0"/"off"/"" = off, "auto" = 4 linear phases,
+    or an explicit comma list of cache lengths (e.g. "16,32,48,64").
+    Segments are clamped/deduped to (0, max_length] and always end at
+    max_length so every write position fits; decoding shorter than max_length
+    is phased through growing static cache sizes (search._run_segmented).
+
+    DEFAULT (unset) is "auto" on TPU — bit-identical to the unsegmented loop
+    (tests/test_generate.py) and +11-16% captions/s/chip (PERFORMANCE.md) —
+    and off elsewhere (4x decode-graph compiles are pure overhead for the
+    CPU test suite)."""
+    raw = os.environ.get("MIC_TPU_CACHE_SEGMENTS")
+    if raw is None:
+        raw = "auto" if jax.default_backend() == "tpu" else ""
+    if not raw or raw in ("0", "off"):
         return ()
     if raw == "auto":
         segs = [max_length * i // 4 for i in (1, 2, 3, 4)]
@@ -356,16 +363,29 @@ class Captioner:
 
         # Fused LM head (ops/fused_head.py): step_fn returns HIDDEN states
         # and candidate selection runs GEMM + online top-k/lse in one Pallas
-        # pass — logits are never materialized (saves ~2.8 ms/step of logits
-        # HBM traffic at the flagship batch-128 config). Tied-embedding,
-        # non-sampling paths only; MIC_TPU_FUSED_HEAD=0 opts out.
+        # pass — logits are never materialized (~1.2-1.6 ms/step of logits
+        # HBM traffic saved at the flagship batch-128 config; 181.8 -> 233.8
+        # captions/s/chip with segments+int8).  Tied-embedding, non-sampling
+        # paths only.  DEFAULT ON for TPU with the bucket select
+        # (BLEU-validated vs the exact path, tools/validate_fast_decode.py);
+        # MIC_TPU_FUSED_HEAD=0 opts out.
+        on_tpu = jax.default_backend() == "tpu"
         fused_head = (
             not gen.do_sample
             and self.config.tie_word_embeddings
-            and os.environ.get("MIC_TPU_FUSED_HEAD", "0") == "1"
+            and os.environ.get("MIC_TPU_FUSED_HEAD", "1" if on_tpu else "0")
+            == "1"
         )
         if fused_head:
             from mic_tpu.ops.fused_head import fused_head_topk, fused_head_topk_q8
+
+            # Candidate-select mode inside the kernel: "bucket" (per-column
+            # running max over vocab chunks — elementwise accumulators, the
+            # fast TPU path, approx_max_k family) or "exact"/"window".  CPU
+            # defaults to exact so fused == dense bit-for-bit in tests.
+            sel = os.environ.get(
+                "MIC_TPU_FUSED_SELECT", "bucket" if on_tpu else "exact"
+            )
 
             bias = params["final_logits_bias"].reshape(-1)
             if quantize == "int8":
@@ -375,33 +395,54 @@ class Captioner:
 
                 weight_q = params["shared"]["embedding_q"]
                 weight_scale = params["shared"]["embedding_scale"]
+                # transposed ONCE here, outside the decode loop — the kernel
+                # wants (D, V) so every chunk is a clean (M,K)x(K,N) MXU dot
+                weight_qt = weight_q.T
 
                 def _head(hidden, k):
                     return fused_head_topk_q8(
-                        hidden, weight_q, weight_scale, bias, k
+                        hidden, weight_qt, weight_scale, bias, k, sel
                     )
 
-                def _tok_logit(hidden, tok):
-                    # numerator must use the SAME quantized-activation dot as
-                    # the kernel/dense int8 paths, or forced-token log-probs
-                    # drift from the unfused path's
-                    xq, xs = quantize_rows_dynamic(hidden)
-                    row_q = jnp.take(weight_q, tok, axis=0)  # (D,) int8
-                    acc = jax.lax.dot_general(
-                        xq, row_q, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    )
-                    return (
-                        acc.astype(jnp.float32)
-                        * xs[:, 0]
-                        * jnp.take(weight_scale, tok).astype(jnp.float32)
-                        + bias[tok].astype(jnp.float32)
-                    )
+                if sel == "bucket":
+                    # bucket-q8 computes bf16 x dequantized-bf16 (no
+                    # activation quant); the forced-token numerator must
+                    # use the same math as the kernel
+                    def _tok_logit(hidden, tok):
+                        row = jnp.take(weight_q, tok, axis=0).astype(
+                            jnp.bfloat16
+                        )
+                        return (
+                            jnp.dot(
+                                hidden.astype(jnp.bfloat16), row,
+                                preferred_element_type=jnp.float32,
+                            )
+                            * jnp.take(weight_scale, tok).astype(jnp.float32)
+                            + bias[tok].astype(jnp.float32)
+                        )
+                else:
+                    def _tok_logit(hidden, tok):
+                        # numerator must use the SAME quantized-activation
+                        # dot as the kernel/dense int8 paths, or forced-token
+                        # log-probs drift from the unfused path's
+                        xq, xs = quantize_rows_dynamic(hidden)
+                        row_q = jnp.take(weight_q, tok, axis=0)  # (D,) int8
+                        acc = jax.lax.dot_general(
+                            xq, row_q, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        )
+                        return (
+                            acc.astype(jnp.float32)
+                            * xs[:, 0]
+                            * jnp.take(weight_scale, tok).astype(jnp.float32)
+                            + bias[tok].astype(jnp.float32)
+                        )
             else:
                 weight = params["shared"]["embedding"]
+                weight_t = weight.astype(self.dtype).T  # once, outside the loop
 
                 def _head(hidden, k):
-                    return fused_head_topk(hidden, weight, bias, k)
+                    return fused_head_topk(hidden, weight_t, bias, k, sel)
 
                 def _tok_logit(hidden, tok):
                     w_row = jnp.take(weight, tok, axis=0).astype(hidden.dtype)

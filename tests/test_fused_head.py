@@ -28,7 +28,7 @@ def test_q8_matches_int8_dense_oracle():
     w = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
     bias = jnp.asarray(rng.normal(size=(v,)).astype(np.float32))
     wq, ws = quantize_array(w, axis=1)
-    lp, ids, lse = fused_head_topk_q8(hidden, wq, ws, bias, 5)
+    lp, ids, lse = fused_head_topk_q8(hidden, wq.T, ws, bias, 5)
 
     xq, xs = quantize_rows_dynamic(hidden)
     logits = (
@@ -51,7 +51,7 @@ def test_matches_dense_oracle():
     hidden = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
     bias = jnp.asarray(rng.normal(size=(v,)).astype(np.float32))
-    lp, ids, lse = fused_head_topk(hidden, w, bias, 5)
+    lp, ids, lse = fused_head_topk(hidden, w.T, bias, 5)
     logits = hidden @ w.T + bias
     ov, oi = jax.lax.top_k(logits, 5)
     olse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
@@ -88,6 +88,79 @@ def test_captioner_fused_head_matches_dense(num_beams, quantize, monkeypatch):
         forced_eos_token_id=2, min_length=4, quantize=quantize,
     )
     monkeypatch.setenv("MIC_TPU_FUSED_HEAD", "1")
+    fused = model.generate(params, px, **kw)
+    monkeypatch.setenv("MIC_TPU_FUSED_HEAD", "0")
+    dense = model.generate(params, px, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(fused.sequences), np.asarray(dense.sequences)
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.scores), np.asarray(dense.scores), rtol=1e-5
+    )
+
+
+def test_bucket_oracle_semantics():
+    """_bucket_topk_dense == brute-force per-column-position chunk max +
+    top-k, and each returned id is the true argmax of its bucket."""
+    from mic_tpu.ops.fused_head import _bucket_topk_dense
+
+    rng = np.random.default_rng(3)
+    n, v, bv, k = 4, 2200, 512, 5
+    logits = jnp.asarray(rng.normal(size=(n, v)).astype(np.float32))
+    vals, ids = _bucket_topk_dense(logits, k, bv)
+    ln = np.asarray(logits)
+    for r in range(n):
+        # brute force: bucket b holds positions {b, b+bv, b+2bv, ...} ∩ [0,v)
+        win = {}
+        for col in range(v):
+            b = col % bv
+            if b not in win or ln[r, col] > win[b][0]:
+                win[b] = (ln[r, col], col)
+        expect = sorted(win.values(), key=lambda t: -t[0])[:k]
+        np.testing.assert_allclose(np.asarray(vals)[r], [e[0] for e in expect],
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ids)[r],
+                                      [e[1] for e in expect])
+
+
+def test_bucket_single_chunk_is_exact():
+    """vocab <= bucket width -> one chunk -> bucket select degenerates to
+    exact top-k (each bucket holds one column)."""
+    from mic_tpu.ops.fused_head import _bucket_tiles
+
+    rng = np.random.default_rng(4)
+    n, d, v = 8, 16, 333
+    assert v <= _bucket_tiles(n)[1]
+    hidden = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(v,)).astype(np.float32))
+    lp, ids, lse = fused_head_topk(hidden, w.T, bias, 5, "bucket")
+    lpe, idse, lsee = fused_head_topk(hidden, w.T, bias, 5, "exact")
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(idse))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lpe), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lsee), rtol=1e-5)
+
+
+@pytest.mark.parametrize("num_beams", [1, 4])
+def test_captioner_fused_bucket_matches_dense_small_vocab(num_beams, monkeypatch):
+    """With a vocab smaller than the bucket width, the fused BUCKET path must
+    equal the dense exact path end-to-end (sequences and scores) — exercises
+    the captioner's sel="bucket" plumbing incl. forced-token branches."""
+    from mic_tpu.core.config import CaptionerConfig, DecoderConfig, VisionConfig
+    from mic_tpu.models.captioner import Captioner
+
+    config = CaptionerConfig(
+        vision=VisionConfig.tiny(),
+        decoder=DecoderConfig.tiny(vocab_size=64, max_position_embeddings=32),
+        tie_word_embeddings=True,
+    )
+    model = Captioner(config)
+    params = model.init_params(jax.random.PRNGKey(5))
+    px = np.random.default_rng(5).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    kw = dict(max_length=10, num_beams=num_beams, forced_bos_token_id=7,
+              forced_eos_token_id=2, min_length=4)
+    monkeypatch.setenv("MIC_TPU_FUSED_HEAD", "1")
+    monkeypatch.setenv("MIC_TPU_FUSED_SELECT", "bucket")
     fused = model.generate(params, px, **kw)
     monkeypatch.setenv("MIC_TPU_FUSED_HEAD", "0")
     dense = model.generate(params, px, **kw)

@@ -87,19 +87,33 @@ def main() -> None:
     modes = {
         "physical-exact": {
             "MIC_TPU_EXACT_TOPK": "1", "MIC_TPU_LAZY_CACHE": "0",
-            "MIC_TPU_DECODE_QUANT": "",
+            "MIC_TPU_DECODE_QUANT": "", "MIC_TPU_FUSED_HEAD": "0",
         },
         "lazy-exact": {
             "MIC_TPU_EXACT_TOPK": "1", "MIC_TPU_LAZY_CACHE": "1",
-            "MIC_TPU_DECODE_QUANT": "",
+            "MIC_TPU_DECODE_QUANT": "", "MIC_TPU_FUSED_HEAD": "0",
         },
         "lazy-approx": {
             "MIC_TPU_EXACT_TOPK": "0", "MIC_TPU_LAZY_CACHE": "1",
-            "MIC_TPU_DECODE_QUANT": "",
+            "MIC_TPU_DECODE_QUANT": "", "MIC_TPU_FUSED_HEAD": "0",
         },
         "lazy-approx-int8": {
             "MIC_TPU_EXACT_TOPK": "0", "MIC_TPU_LAZY_CACHE": "1",
+            "MIC_TPU_DECODE_QUANT": "int8", "MIC_TPU_FUSED_HEAD": "0",
+        },
+        # fused LM-head kernel with bucket candidate selection (the fast TPU
+        # select; approx_max_k family).  Cache segments are excluded here:
+        # they are bit-identical by construction (tests/test_generate.py) and
+        # only slow the validation's recompiles.
+        "fused-bucket": {
+            "MIC_TPU_EXACT_TOPK": "0", "MIC_TPU_LAZY_CACHE": "1",
+            "MIC_TPU_DECODE_QUANT": "",
+            "MIC_TPU_FUSED_HEAD": "1", "MIC_TPU_FUSED_SELECT": "bucket",
+        },
+        "fused-bucket-int8": {
+            "MIC_TPU_EXACT_TOPK": "0", "MIC_TPU_LAZY_CACHE": "1",
             "MIC_TPU_DECODE_QUANT": "int8",
+            "MIC_TPU_FUSED_HEAD": "1", "MIC_TPU_FUSED_SELECT": "bucket",
         },
     }
     for name, env in modes.items():
@@ -138,7 +152,7 @@ def main() -> None:
     print(json.dumps({"results": results}))
     ref = bleu1["physical-exact"]
     for name, vals in bleu1.items():
-        if name == "lazy-approx-int8":
+        if name in ("lazy-approx-int8", "fused-bucket-int8"):
             continue  # int8 is opt-in: reported above, not gating defaults
         assert all(abs(a - b) <= 0.02 for a, b in zip(vals, ref)), (
             f"{name} BLEU-1 deviates from physical-exact: {vals} vs {ref}"
