@@ -27,10 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# batch 128 is the measured throughput sweet spot with the lazy beam cache
-# (64 was the sweet spot for the physical-permute cache, whose permute+copy
-# costs scaled superlinearly with batch; see PERFORMANCE.md batch sweep)
-BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+# batch 256 is the measured throughput sweet spot with the fused LM head:
+# 256*4 beams = 1024 rows is exactly the head kernel's single-row-tile limit,
+# so the 512 MB weight stream amortizes over 2x the captions with no second
+# weight pass (237.8 vs 226.3 at 128; pre-fused-head 256 LOST to 128 because
+# the dense top-k path scaled superlinearly — see PERFORMANCE.md batch sweep)
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 MAX_LENGTH = 64
 NUM_BEAMS = 4
 TARGET_PER_CHIP = 5000 / 8  # north-star: 5k captions/s on v5e-8

@@ -266,11 +266,14 @@ class Captioner:
     def init_decode_cache(
         self, params: Params, enc_states: jnp.ndarray, max_length: int,
         beams: int = 1, lazy: bool = False, kv_quant: Optional[str] = None,
+        merged: bool = False,
     ) -> DecoderCache:
         """enc_states is TRUE-batch (B, S, D): the cross-attention cache keeps
         one K/V copy per image; only the self-attention cache is per-beam.
         With lazy=True, returns a LazyDecoderCache (ancestry-tracked beam
-        reordering — no physical cache permute per step)."""
+        reordering — no physical cache permute per step); merged=True stores
+        its self K/V head-dims-merged for the fused Pallas attention kernel
+        (see nn/cache.py init_lazy_cache)."""
         cfg = self.config.decoder
         batch, enc_len = enc_states.shape[0], enc_states.shape[1]
         cross_k, cross_v = mbart_decoder.init_cross_cache(
@@ -280,6 +283,7 @@ class Captioner:
             empty = init_lazy_cache(
                 cfg.num_layers, batch, beams, max_length, enc_len,
                 cfg.num_heads, cfg.head_dim, self.dtype, kv_quant=kv_quant,
+                merged=merged,
             )
         else:
             empty = init_cache(
@@ -356,9 +360,31 @@ class Captioner:
         # linear segments) — see search._run_segmented.
         cache_segments = _resolve_cache_segments(gen.max_length)
         first_len = cache_segments[0] if cache_segments else gen.max_length
+        on_tpu = jax.default_backend() == "tpu"
+        # Merged (B*K, T, H*Dh) self-KV layout for the fused Pallas lazy
+        # decode attention (ops/lazy_attention.py): XLA lane-pads the
+        # canonical (..., H=16, Dh=64) trailing dims to (16, 128) — 2x the
+        # physical cache bytes AND a ~9.9 ms/layer copy into the kernel's
+        # merged view (profiled). Storing merged makes that view a bitcast.
+        # Must mirror _decoder_step_lazy's fused-kernel gate exactly; env
+        # MIC_TPU_MERGED_KV=1 forces it (CPU equivalence tests).
+        seg_lens = cache_segments if cache_segments else (gen.max_length,)
+        merged = lazy and (
+            os.environ.get("MIC_TPU_MERGED_KV") == "1"
+            or (
+                on_tpu
+                and kv_quant is None
+                and os.environ.get("MIC_TPU_FUSED_LAZY_ATTN", "0") == "1"
+                and gen.num_beams >= 2
+                and (dec.num_heads * dec.head_dim) % 128 == 0
+                and all((gen.num_beams * t) % 16 == 0 for t in seg_lens)
+                and not mbart_decoder._attn_buckets(gen.max_length)
+            )
+        )
         cache = self.init_decode_cache(
             params, enc_states, first_len, beams=gen.num_beams, lazy=lazy,
             kv_quant=kv_quant if lazy else None,  # quant KV is lazy-path only
+            merged=merged,
         )
 
         # Fused LM head (ops/fused_head.py): step_fn returns HIDDEN states
@@ -369,7 +395,6 @@ class Captioner:
         # paths only.  DEFAULT ON for TPU with the bucket select
         # (BLEU-validated vs the exact path, tools/validate_fast_decode.py);
         # MIC_TPU_FUSED_HEAD=0 opts out.
-        on_tpu = jax.default_backend() == "tpu"
         fused_head = (
             not gen.do_sample
             and self.config.tie_word_embeddings

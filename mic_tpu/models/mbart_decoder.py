@@ -354,6 +354,28 @@ def _decoder_step_lazy(
     post = cfg.post_norm
     buckets = _attn_buckets(cache.max_len)
 
+    # Fused Pallas decode attention (ops/lazy_attention.py): OPT-IN via
+    # MIC_TPU_FUSED_LAZY_ATTN=1.  The kernel itself wins (2.66 vs 3.12
+    # ms/step of score-chain at the flagship shape) but XLA copies any
+    # while-carried cache that is both read by a custom call and
+    # column-written in the same iteration (+1.37 ms/step), which the XLA
+    # lowering's fusion-based in-place update avoids — net regression, so
+    # the XLA path stays the default (see PERFORMANCE.md "measured dead
+    # ends").  The ancestry+liveness mask is layer-invariant: built ONCE
+    # per step and shared by all layers.
+    amask = None
+    if (
+        os.environ.get("MIC_TPU_FUSED_LAZY_ATTN", "0") == "1"
+        and jax.default_backend() == "tpu"
+        and not buckets
+    ):
+        from mic_tpu.ops import lazy_attention
+
+        if lazy_attention.supports(
+            cache.self_k[0], beams, cfg.num_heads, cfg.head_dim
+        ):
+            amask = lazy_attention.build_ancestry_mask(cache.ancestry, index)
+
     x = embed_tokens(shared, token_ids, cfg, dtype)
     pos = jnp.full(token_ids.shape, index, token_ids.dtype)
     x = x + embed(params["pos_embed"], pos + cfg.pos_offset, dtype)
@@ -361,6 +383,12 @@ def _decoder_step_lazy(
 
     cross_mask = (
         None if enc_mask is None else enc_mask.astype(jnp.bool_)[:, None, None, :]
+    )
+    cross_kernel = (
+        os.environ.get("MIC_TPU_FUSED_CROSS_ATTN", "0") == "1"
+        and jax.default_backend() == "tpu"
+        and cross_mask is None
+        and (cfg.num_heads * cfg.head_dim) % 128 == 0
     )
 
     new_k, new_v = [], []
@@ -372,6 +400,7 @@ def _decoder_step_lazy(
         x, sk, sv = mha_decode_step_lazy(
             p["self_attn"], x, cache.self_k[l], cache.self_v[l],
             cache.ancestry, index, cfg.num_heads, beams, buckets=buckets,
+            amask=amask,
         )
         new_k.append(sk)
         new_v.append(sv)
@@ -383,7 +412,7 @@ def _decoder_step_lazy(
             x = layer_norm(p["ln_cross"], x, eps)
         x = mha_cross_grouped(
             p["cross_attn"], x, cache.cross_k[l], cache.cross_v[l],
-            cross_mask, cfg.num_heads, beams,
+            cross_mask, cfg.num_heads, beams, kernel=cross_kernel,
         )
         x = r + x
         if post:

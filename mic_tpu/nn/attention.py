@@ -86,15 +86,28 @@ def mha_cross_grouped(
     mask: Optional[jnp.ndarray],  # (B, 1, 1, S) or None
     num_heads: int,
     beams: int,
+    kernel: bool = False,    # opt-in fused Pallas path (mask=None only)
 ) -> jnp.ndarray:
     """Beam-grouped cached cross-attention: all of an image's beams share the
     same encoder K/V, so the cache stores them once per image and the beams
     ride the query axis.  Cuts cross-KV HBM reads by the beam factor per step
-    (~1 GB/step at the flagship beam-4 config)."""
+    (~1 GB/step at the flagship beam-4 config).
+
+    kernel=True routes through ops/cross_attention.py (MEASURED NEGATIVE at
+    the flagship shape — 0.53 vs 0.37 ms/layer, the S=50 per-image tiles are
+    too small for the MXU pipeline; see PERFORMANCE.md — kept opt-in via
+    MIC_TPU_FUSED_CROSS_ATTN=1 for larger-encoder configs)."""
     bk, one, d = x.shape
     head_dim = d // num_heads
     b = k.shape[0]
     q = dense(params["q"], x) * (head_dim**-0.5)
+    if kernel and mask is None:
+        from mic_tpu.ops.cross_attention import fused_cross_attention
+
+        out = fused_cross_attention(
+            q.reshape(b, (bk // b) * one, d), k, v, (bk // b) * one, num_heads
+        )
+        return dense(params["o"], out.reshape(bk, one, d))
     q = q.reshape(b, (bk // b) * one, num_heads, head_dim)      # (B, K, H, Dh)
     scores = jnp.einsum(
         "bkhd,bshd->bhks", q, k, preferred_element_type=jnp.float32
@@ -141,6 +154,7 @@ def mha_decode_step_lazy(
     num_heads: int,
     beams: int,
     buckets: tuple = (),     # static read-prefix lengths; () = full window
+    amask: Optional[jnp.ndarray] = None,  # (B, K*T, K) int8: use fused kernel
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Cached beam self-attention without physical cache reordering.
 
@@ -163,6 +177,61 @@ def mha_decode_step_lazy(
     q = q.reshape(b, beams * one, num_heads, head_dim)          # (B, K, H, Dh)
     k_step, v_step = project_kv(params, x, num_heads)           # (BK, 1, H, Dh)
     quant = isinstance(cache_k, dict)
+
+    if amask is not None:
+        # Fused Pallas decode attention (ops/lazy_attention.py): the whole
+        # score/mask/softmax/weight pipeline stays in VMEM.  The kernel reads
+        # the PRE-update cache (the current step's K/V go in as small extra
+        # inputs) so the column write below has the loop carry as its ONLY
+        # consumer and XLA aliases it in place — with the write first, the
+        # cache value feeds both the custom-call and the carry and XLA
+        # materializes a copy (profiled 1.48 ms/step vs 0.07 at batch 128).
+        # `amask` is the per-STEP ancestry+liveness mask with STRICT t<index
+        # liveness (layer-invariant, built once in _decoder_step_lazy).
+        from mic_tpu.ops.lazy_attention import fused_lazy_attention
+
+        out = fused_lazy_attention(
+            q.reshape(b, beams, d), cache_k, cache_v,
+            k_step.reshape(b, beams, d), v_step.reshape(b, beams, d),
+            amask, beams, num_heads,
+        )
+        if quant:
+            from mic_tpu.ops.quant import quantize_rows_dynamic
+
+            kq8, ks = quantize_rows_dynamic(k_step)
+            vq8, vs = quantize_rows_dynamic(v_step)
+            cache_k = {
+                "q": jax.lax.dynamic_update_slice(
+                    cache_k["q"], kq8, (0, index, 0, 0)
+                ),
+                "s": jax.lax.dynamic_update_slice(
+                    cache_k["s"], ks[..., 0], (0, index, 0)
+                ),
+            }
+            cache_v = {
+                "q": jax.lax.dynamic_update_slice(
+                    cache_v["q"], vq8, (0, index, 0, 0)
+                ),
+                "s": jax.lax.dynamic_update_slice(
+                    cache_v["s"], vs[..., 0], (0, index, 0)
+                ),
+            }
+        elif cache_k.ndim == 3:
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k_step.reshape(bk, 1, d), (0, index, 0)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v_step.reshape(bk, 1, d), (0, index, 0)
+            )
+        else:
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k_step, (0, index, 0, 0)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v_step, (0, index, 0, 0)
+            )
+        return dense(params["o"], out.reshape(bk, one, d)), cache_k, cache_v
+
     if quant:
         # int8 KV cache: per-(row, position, head) scales; halves the decode
         # loop's dominant HBM stream (the cache read). The int8->compute
@@ -185,6 +254,16 @@ def mha_decode_step_lazy(
             ),
         }
         t = cache_k["q"].shape[1]
+    elif cache_k.ndim == 3:
+        # merged (B*K, T, H*Dh) storage (fused-kernel mode): padding-free on
+        # TPU and a pure bitcast into the kernel's (B, K*T, HD) view
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k_step.reshape(bk, 1, d), (0, index, 0)
+        )
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v_step.reshape(bk, 1, d), (0, index, 0)
+        )
+        t = cache_k.shape[1]
     else:
         cache_k = jax.lax.dynamic_update_slice(cache_k, k_step, (0, index, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(cache_v, v_step, (0, index, 0, 0))

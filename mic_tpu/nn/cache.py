@@ -127,7 +127,13 @@ class LazyDecoderCache(NamedTuple):
     (generation_clip_vision_utils.py:945-953) with zero data movement.
 
     Shapes:
-      self_k / self_v : L-tuple of (B*K, max_len, H, Dh)
+      self_k / self_v : L-tuple of (B*K, max_len, H, Dh) — or MERGED
+                        (B*K, max_len, H*Dh) when the fused Pallas attention
+                        kernel drives decoding: XLA lane-pads a trailing
+                        (16, 64) dim pair to (16, 128) (2x physical bytes and
+                        a 9.9 ms/layer physical reshape into the kernel's
+                        merged view, profiled); the merged layout is padding-
+                        free and bitcasts to the kernel's (B, K*T, HD) view
       cross_k/ cross_v: (L, B, enc_len, H, Dh)  — per image, beam-invariant
       ancestry        : (B, K, max_len) int32
       index           : scalar int32 — number of tokens already written.
@@ -182,13 +188,15 @@ class LazyDecoderCache(NamedTuple):
             return self
         ext = new_len - cur
 
+        def pad_t(a):  # pad axis 1 (time) whatever the trailing rank
+            pad = [(0, 0)] * a.ndim
+            pad[1] = (0, ext)
+            return jnp.pad(a, pad)
+
         def pad_kv(e):
             if isinstance(e, dict):  # int8 KV: values + per-(row,pos,head) scales
-                return {
-                    "q": jnp.pad(e["q"], ((0, 0), (0, ext), (0, 0), (0, 0))),
-                    "s": jnp.pad(e["s"], ((0, 0), (0, ext), (0, 0))),
-                }
-            return jnp.pad(e, ((0, 0), (0, ext), (0, 0), (0, 0)))
+                return {"q": pad_t(e["q"]), "s": pad_t(e["s"])}
+            return pad_t(e)
 
         b, k, _ = self.ancestry.shape
         ident_ext = jnp.broadcast_to(
@@ -228,11 +236,16 @@ def init_lazy_cache(
     head_dim: int,
     dtype=jnp.float32,
     kv_quant: str | None = None,
+    merged: bool = False,
 ) -> LazyDecoderCache:
     """kv_quant="int8" stores the self K/V as int8 with per-(row, position,
     head) f32 scales — halves the decode loop's dominant HBM stream (the
     cache read) at ~0.4% attention-output quantization noise (opt-in,
-    BLEU-validated by tools/validate_fast_decode.py)."""
+    BLEU-validated by tools/validate_fast_decode.py).
+
+    merged=True stores the self K/V with the head dims merged,
+    (B*K, T, H*Dh) — the layout the fused Pallas decode-attention kernel
+    consumes; padding-free on TPU (see LazyDecoderCache docstring)."""
     if kv_quant == "int8":
         kv = {
             "q": jnp.zeros(
@@ -242,6 +255,10 @@ def init_lazy_cache(
         }
     elif kv_quant:
         raise ValueError(f"unsupported kv_quant: {kv_quant!r}")
+    elif merged:
+        kv = jnp.zeros(
+            (batch * num_beams, max_len, num_heads * head_dim), dtype
+        )
     else:
         kv = jnp.zeros((batch * num_beams, max_len, num_heads, head_dim), dtype)
     xkv = jnp.zeros((num_layers, batch, enc_len, num_heads, head_dim), dtype)

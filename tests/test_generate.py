@@ -221,6 +221,31 @@ def test_segmented_cache_auto_and_quant(setup, monkeypatch):
     )
 
 
+def test_merged_kv_layout_matches_canonical(setup, monkeypatch):
+    """The merged (B*K, T, H*Dh) self-KV storage (fused-kernel layout,
+    nn/cache.py init_lazy_cache merged=True) must be bit-identical to the
+    canonical (B*K, T, H, Dh) layout — it is a pure dim regrouping; the XLA
+    attend reshapes it back per head.  Also covers grow() on the rank-3
+    buffers (segmented decoding)."""
+    model, params, px = setup
+    for kw in [
+        dict(max_length=8, num_beams=4, length_penalty=0.6),
+        dict(max_length=16, num_beams=4),
+    ]:
+        monkeypatch.setenv("MIC_TPU_MERGED_KV", "1")
+        monkeypatch.setenv("MIC_TPU_CACHE_SEGMENTS", "5,9,16")
+        merged = model.generate(params, px, **kw)
+        monkeypatch.delenv("MIC_TPU_MERGED_KV")
+        monkeypatch.setenv("MIC_TPU_CACHE_SEGMENTS", "")
+        canon = model.generate(params, px, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(merged.sequences), np.asarray(canon.sequences)
+        )
+        np.testing.assert_allclose(
+            np.asarray(merged.scores), np.asarray(canon.scores), rtol=1e-6
+        )
+
+
 def test_bucketed_attention_reads_match_full_window(setup, monkeypatch):
     """Prefix-bucketed cache reads (MIC_TPU_ATTN_BUCKETS) must be
     bit-identical to full-window reads: masked tail positions contribute

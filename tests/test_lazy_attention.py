@@ -1,0 +1,178 @@
+"""Fused lazy decode-attention kernel (ops/lazy_attention.py) vs the XLA
+lazy path (nn/attention.py mha_decode_step_lazy) — interpret mode, so the
+exact kernel program runs on CPU.
+
+The kernel reads the PRE-update cache and takes the current step's K/V as
+separate inputs (so the model's post-kernel column write aliases in place);
+the dense reference below scores the POST-update cache with the classic
+``t <= index`` liveness — the two must agree exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mic_tpu.ops.lazy_attention import (
+    build_ancestry_mask,
+    fused_lazy_attention,
+    supports,
+)
+from mic_tpu.ops.quant import quantize_rows_dynamic
+
+
+def _dense_ref(q, ck, cv, anc, index, heads):
+    """The attend() math of mha_decode_step_lazy, full window, POST-update
+    cache (current column written, live t <= index)."""
+    b, k, hd = q.shape
+    dh = hd // heads
+    t = ck.shape[1]
+    beams = anc.shape[1]
+    q4 = q.reshape(b, k, heads, dh)
+    kg = ck.reshape(b, beams, t, heads, dh)
+    vg = cv.reshape(b, beams, t, heads, dh)
+    scores = jnp.einsum(
+        "bkhd,bjthd->bhkjt", q4, kg.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    live = jnp.arange(t) <= index
+    sel = anc[:, :, :, None] == jnp.arange(beams, dtype=jnp.int32)
+    mask = (sel & live[None, None, :, None]).transpose(0, 1, 3, 2)
+    scores = jnp.where(mask[:, None], scores, jnp.finfo(jnp.float32).min)
+    w = jax.nn.softmax(scores.reshape(b, heads, k, beams * t), axis=-1)
+    w = w.reshape(b, heads, k, beams, t).astype(q.dtype)
+    out = jnp.einsum(
+        "bhkjt,bjthd->bkhd", w, vg.astype(q.dtype),
+        preferred_element_type=q.dtype,
+    )
+    return out.reshape(b, k, hd)
+
+
+def _inputs(b, k, h, dh, t, index, seed=0):
+    """Returns (q, ck_pre, cv_pre, k_step, v_step, anc, ck_post, cv_post):
+    pre-update caches + step rows for the kernel; post-update caches (step
+    written at `index`, ancestry identity there) for the dense reference."""
+    rng = np.random.default_rng(seed)
+    hd = h * dh
+    q = jnp.asarray(
+        rng.normal(size=(b, k, hd)).astype(np.float32) * 0.3, jnp.bfloat16
+    )
+    ck = jnp.asarray(
+        rng.normal(size=(b * k, t, h, dh)).astype(np.float32) * 0.5,
+        jnp.bfloat16,
+    )
+    cv = jnp.asarray(
+        rng.normal(size=(b * k, t, h, dh)).astype(np.float32) * 0.5,
+        jnp.bfloat16,
+    )
+    k_step = jnp.asarray(
+        rng.normal(size=(b, k, hd)).astype(np.float32) * 0.5, jnp.bfloat16
+    )
+    v_step = jnp.asarray(
+        rng.normal(size=(b, k, hd)).astype(np.float32) * 0.5, jnp.bfloat16
+    )
+    anc = rng.integers(0, k, size=(b, k, t)).astype(np.int32)
+    anc[:, :, index] = np.arange(k)  # a beam's current token is its own row
+    anc = jnp.asarray(anc)
+    ck_post = jax.lax.dynamic_update_slice(
+        ck, k_step.reshape(b * k, 1, h, dh), (0, index, 0, 0)
+    )
+    cv_post = jax.lax.dynamic_update_slice(
+        cv, v_step.reshape(b * k, 1, h, dh), (0, index, 0, 0)
+    )
+    return q, ck, cv, k_step, v_step, anc, ck_post, cv_post
+
+
+@pytest.mark.parametrize("t,index", [(16, 3), (32, 31), (64, 40), (16, 0)])
+def test_kernel_matches_xla_path(t, index):
+    b, k, h, dh = 2, 4, 16, 64
+    q, ck, cv, kst, vst, anc, ckp, cvp = _inputs(b, k, h, dh, t, index)
+    idx = jnp.asarray(index, jnp.int32)
+    amask = build_ancestry_mask(anc, idx)
+    ref = np.asarray(_dense_ref(q, ckp, cvp, anc, idx, h), np.float32)
+    got = np.asarray(
+        fused_lazy_attention(q, ck, cv, kst, vst, amask, k, h, interpret=True),
+        np.float32,
+    )
+    scale = np.max(np.abs(ref)) + 1e-9
+    assert np.max(np.abs(got - ref)) / scale < 0.03
+
+
+def test_kernel_merged_layout_matches():
+    """The merged (B*K, T, H*Dh) cache storage must give identical results:
+    inside the kernel it is the same (B, K*T, HD) view."""
+    b, k, h, dh, t, index = 2, 4, 16, 64, 32, 17
+    q, ck, cv, kst, vst, anc, ckp, cvp = _inputs(b, k, h, dh, t, index)
+    idx = jnp.asarray(index, jnp.int32)
+    amask = build_ancestry_mask(anc, idx)
+    ref = np.asarray(
+        fused_lazy_attention(q, ck, cv, kst, vst, amask, k, h, interpret=True),
+        np.float32,
+    )
+    got = np.asarray(
+        fused_lazy_attention(
+            q, ck.reshape(b * k, t, h * dh), cv.reshape(b * k, t, h * dh),
+            kst, vst, amask, k, h, interpret=True,
+        ),
+        np.float32,
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_kernel_int8_kv_close():
+    b, k, h, dh, t = 2, 4, 16, 64, 32
+    index = t - 1
+    q, ck, cv, kst, vst, anc, ckp, cvp = _inputs(b, k, h, dh, t, index, seed=1)
+    idx = jnp.asarray(index, jnp.int32)
+    amask = build_ancestry_mask(anc, idx)
+    kq8, ks = quantize_rows_dynamic(ck)
+    vq8, vs = quantize_rows_dynamic(cv)
+    ck8 = {"q": kq8, "s": ks[..., 0]}
+    cv8 = {"q": vq8, "s": vs[..., 0]}
+    ref = np.asarray(_dense_ref(q, ckp, cvp, anc, idx, h), np.float32)
+    got = np.asarray(
+        fused_lazy_attention(q, ck8, cv8, kst, vst, amask, k, h, interpret=True),
+        np.float32,
+    )
+    scale = np.max(np.abs(ref)) + 1e-9
+    assert np.max(np.abs(got - ref)) / scale < 0.06
+
+
+def test_beams_two():
+    b, k, h, dh, t, index = 3, 2, 8, 128, 8, 5
+    q, ck, cv, kst, vst, anc, ckp, cvp = _inputs(b, k, h, dh, t, index, seed=2)
+    idx = jnp.asarray(index, jnp.int32)
+    amask = build_ancestry_mask(anc, idx)
+    ref = np.asarray(_dense_ref(q, ckp, cvp, anc, idx, h), np.float32)
+    got = np.asarray(
+        fused_lazy_attention(q, ck, cv, kst, vst, amask, k, h, interpret=True),
+        np.float32,
+    )
+    scale = np.max(np.abs(ref)) + 1e-9
+    assert np.max(np.abs(got - ref)) / scale < 0.03
+
+
+def test_build_ancestry_mask_semantics():
+    # STRICT liveness: position `index` itself is NOT in the mask (the
+    # kernel's separate step rows cover it)
+    anc = jnp.asarray([[[0, 0, 0], [0, 1, 1]]], jnp.int32)  # (1, 2, 3)
+    m = np.asarray(build_ancestry_mask(anc, jnp.asarray(2, jnp.int32)))
+    assert m.shape == (1, 6, 2)  # (B, J*T, K)
+    # rows are (j, t) j-major: j*3 + t
+    assert m[0, 0, 0] == 1 and m[0, 0, 1] == 1   # j=0,t=0: both beams
+    assert m[0, 1, 0] == 1 and m[0, 1, 1] == 0   # j=0,t=1: beam0 only
+    assert m[0, 4, 1] == 1 and m[0, 4, 0] == 0   # j=1,t=1: beam1 only
+    assert m[0, 2, 0] == 0 and m[0, 2, 1] == 0   # t=2 == index: step rows
+    assert m[0, 5, 0] == 0 and m[0, 5, 1] == 0
+
+
+def test_supports_guard():
+    kv = jnp.zeros((8, 16, 16, 64), jnp.bfloat16)
+    assert supports(kv, 4, 16, 64)
+    assert not supports(kv, 1, 16, 64)          # greedy: no beam axis
+    assert not supports(kv, 4, 3, 64)           # HD not 128-aligned
+    kv_odd = jnp.zeros((8, 13, 16, 64), jnp.bfloat16)
+    assert not supports(kv_odd, 4, 16, 64)      # J*T not 16-aligned
+    assert supports({"q": kv, "s": jnp.zeros((8, 16, 16))}, 4, 16, 64)
+    merged = jnp.zeros((8, 16, 1024), jnp.bfloat16)
+    assert supports(merged, 4, 16, 64)

@@ -1,0 +1,87 @@
+"""Standalone cross-attention bench: XLA grouped path vs the fused kernel.
+
+Times one layer's beam-grouped cross-attention at the flagship decode shape
+(B=128, K=4, S=50, HD=1024), loop-amortized inside a single dispatch with a
+data-dependent carry (the TPU relay dedupes same-input dispatches).
+
+  python tools/bench_cross.py [--batch 128] [--s 50] [--reps 200]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--beams", type=int, default=4)
+    p.add_argument("--heads", type=int, default=16)
+    p.add_argument("--head_dim", type=int, default=64)
+    p.add_argument("--s", type=int, default=50)
+    p.add_argument("--reps", type=int, default=200)
+    args = p.parse_args(argv)
+
+    B, K, H, Dh, S = args.batch, args.beams, args.heads, args.head_dim, args.s
+    HD = H * Dh
+    rng = np.random.default_rng(0)
+
+    from mic_tpu.ops.cross_attention import fused_cross_attention
+    from mic_tpu.ops.quant import quantize_rows_dynamic
+
+    q0 = jnp.asarray(rng.normal(size=(B, K, HD)).astype(np.float32) * 0.3,
+                     jnp.bfloat16)
+    ek = jnp.asarray(rng.normal(size=(B, S, H, Dh)).astype(np.float32) * 0.5,
+                     jnp.bfloat16)
+    ev = jnp.asarray(rng.normal(size=(B, S, H, Dh)).astype(np.float32) * 0.5,
+                     jnp.bfloat16)
+    ekm, evm = ek.reshape(B, S, HD), ev.reshape(B, S, HD)
+    kq8, ks = quantize_rows_dynamic(ek)
+    vq8, vs = quantize_rows_dynamic(ev)
+    ek8 = {"q": kq8.reshape(B, S, HD), "s": ks[..., 0]}
+    ev8 = {"q": vq8.reshape(B, S, HD), "s": vs[..., 0]}
+
+    def xla_layer(q, ek, ev):
+        q4 = q.reshape(B, K, H, Dh)
+        scores = jnp.einsum("bkhd,bshd->bhks", q4, ek,
+                            preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhks,bshd->bkhd", w, ev,
+                         preferred_element_type=q.dtype)
+        return out.reshape(B, K, HD)
+
+    def timed(name, fn, *xs):
+        @jax.jit
+        def loop(q, *xs):
+            def body(carry, _):
+                out = fn(carry, *xs)
+                return (q + out.astype(q.dtype) * 1e-6), None
+
+            carry, _ = jax.lax.scan(body, q, None, length=args.reps)
+            return carry
+
+        np.asarray(loop(q0, *xs))  # compile
+        qs = [q0 * (1 + 1e-4 * i) for i in range(3)]
+        jax.block_until_ready(qs)
+        times = []
+        for qq in qs:
+            t0 = time.perf_counter()
+            np.asarray(loop(qq, *xs))
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times)) / args.reps
+        print(f"{name:18s} {dt*1e3:7.3f} ms/layer  (x12 = {dt*12e3:6.2f} ms/step)")
+
+    timed("xla", xla_layer, ek, ev)
+    timed("kernel bf16", lambda q, k, v: fused_cross_attention(q, k, v, K, H),
+          ekm, evm)
+    timed("kernel int8", lambda q, k, v: fused_cross_attention(q, k, v, K, H),
+          ek8, ev8)
+
+
+if __name__ == "__main__":
+    main()
