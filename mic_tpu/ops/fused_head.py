@@ -56,31 +56,37 @@ def _window_candidates(s, base):
     return wmax, base + win * _WINDOW + widx
 
 
-def _bucket_update(s, base, m_scr, l_scr, rmax_scr, rid_scr):
+# Fixed offset for the sum-of-exps accumulator: exp(min(s, _EXP_CLAMP))
+# per element.  Mathematically exact (lse = log(sum exp(s)) directly) as
+# long as no logit exceeds the clamp: 250054 * exp(60) ~ 2.7e31 << f32 max.
+# Trained LM logits live in [-30, 30]; a clamp engagement means the run is
+# already degenerate.  The PREVIOUS online-max formulation
+# (l = l*exp(m_prev-m_new) + exp(s-m_new)) was 2 transcendentals/element —
+# profiled as the kernel's VPU bottleneck at the 1024-row tile (~4 ms/step,
+# ~500M exps); this is 1.
+_EXP_CLAMP = 60.0
+
+
+def _bucket_update(s, base, l_scr, rmax_scr, rid_scr):
     """Per-chunk accumulator update with ELEMENTWISE ops only.
 
     The exact/window selects and a scalar online-lse pay several cross-lane
     reductions per chunk (a lane reduction is ~log2(width) shuffle steps; at
     245 chunks that measured ~4 ms/step of pure VPU shuffle time).  Here
-    every column position j of the chunk keeps its own online (max, sumexp)
-    and its own running (best value, best global id) over chunks — all
-    elementwise — and _bucket_finish does the only reductions ONCE."""
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, s)
-    l_scr[:] = l_scr[:] * jnp.exp(m_prev - m_new) + jnp.exp(s - m_new)
-    m_scr[:] = m_new
+    every column position j of the chunk keeps its own running sum-of-exps
+    (fixed offset — see _EXP_CLAMP) and its own running (best value, best
+    global id) over chunks — all elementwise, ONE transcendental — and
+    _bucket_finish does the only reductions ONCE."""
+    l_scr[:] = l_scr[:] + jnp.exp(jnp.minimum(s, _EXP_CLAMP))
     col = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     upd = s > rmax_scr[:]
     rid_scr[:] = jnp.where(upd, col, rid_scr[:])
     rmax_scr[:] = jnp.where(upd, s, rmax_scr[:])
 
 
-def _bucket_finish(k, lp_ref, idx_ref, lse_ref, m_scr, l_scr, rmax_scr,
-                   rid_scr):
-    m = m_scr[:]
-    big = jnp.max(m, axis=-1, keepdims=True)                 # (BN, 1)
-    lt = jnp.sum(l_scr[:] * jnp.exp(m - big), axis=-1, keepdims=True)
-    lse = jnp.log(lt) + big                                  # exact row lse
+def _bucket_finish(k, lp_ref, idx_ref, lse_ref, l_scr, rmax_scr, rid_scr):
+    lt = jnp.sum(l_scr[:], axis=-1, keepdims=True)           # (BN, 1)
+    lse = jnp.log(lt)                                        # exact row lse
     mv, mi = _select_topk(rmax_scr[:], rid_scr[:], k)
     lp_ref[:] = mv - lse
     idx_ref[:] = mi
@@ -88,7 +94,7 @@ def _bucket_finish(k, lp_ref, idx_ref, lse_ref, m_scr, l_scr, rmax_scr,
 
 
 def _kernel_bucket(vocab, k, x_ref, w_ref, b_ref, lp_ref, idx_ref, lse_ref,
-                   m_scr, l_scr, rmax_scr, rid_scr):
+                   l_scr, rmax_scr, rid_scr):
     """Bucket-mode bf16 kernel: candidates = per-column-position running max
     over vocab chunks (bv buckets/row, the approx_max_k family of
     approximations); exact lse via per-column online accumulators."""
@@ -97,7 +103,6 @@ def _kernel_bucket(vocab, k, x_ref, w_ref, b_ref, lp_ref, idx_ref, lse_ref,
 
     @pl.when(jv == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         rmax_scr[:] = jnp.full_like(rmax_scr, NEG_INF)
         rid_scr[:] = jnp.zeros_like(rid_scr)
@@ -113,17 +118,101 @@ def _kernel_bucket(vocab, k, x_ref, w_ref, b_ref, lp_ref, idx_ref, lse_ref,
     if vocab % bv != 0:
         colm = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(colm < vocab, s, NEG_INF)
-    _bucket_update(s, base, m_scr, l_scr, rmax_scr, rid_scr)
+    _bucket_update(s, base, l_scr, rmax_scr, rid_scr)
 
     @pl.when(jv == nv - 1)
     def _finish():
         _bucket_finish(k, lp_ref, idx_ref, lse_ref,
-                       m_scr, l_scr, rmax_scr, rid_scr)
+                       l_scr, rmax_scr, rid_scr)
+
+
+def _kernel_bucket_acc(vocab, x_ref, w_ref, b_ref,
+                       l_ref, rmax_ref, rid_ref):
+    """Bucket kernel WITHOUT the in-kernel finish: the four accumulator
+    planes are pallas OUTPUTS (updated in place in VMEM, flushed to HBM once
+    at grid end) and the tiny lse/top-k finish runs in XLA.  Mosaic's
+    scoped-vmem accounting charges the finish's k select-and-mask
+    temporaries against the kernel stack — at a 1024-row tile that overflows
+    the 16 MB VMEM (17.1 MB measured), while the accumulator-only body fits.
+    Used whenever the row tile exceeds 512 (see _bucket_tiles)."""
+    jv = pl.program_id(1)
+
+    @pl.when(jv == 0)
+    def _init():
+        l_ref[:] = jnp.zeros_like(l_ref)
+        rmax_ref[:] = jnp.full_like(rmax_ref, NEG_INF)
+        rid_ref[:] = jnp.zeros_like(rid_ref)
+
+    s = jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + b_ref[:].astype(jnp.float32)
+    bv = s.shape[1]
+    base = jv * bv
+    if vocab % bv != 0:
+        colm = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(colm < vocab, s, NEG_INF)
+    _bucket_update(s, base, l_ref, rmax_ref, rid_ref)
+
+
+def _kernel_q8_bucket_acc(vocab, x_ref, w_ref, ws_ref, b_ref,
+                          l_ref, rmax_ref, rid_ref):
+    """int8-weight variant of _kernel_bucket_acc (bf16 MXU dot on the
+    in-kernel-dequantized tile, like _kernel_q8_bucket)."""
+    jv = pl.program_id(1)
+
+    @pl.when(jv == 0)
+    def _init():
+        l_ref[:] = jnp.zeros_like(l_ref)
+        rmax_ref[:] = jnp.full_like(rmax_ref, NEG_INF)
+        rid_ref[:] = jnp.zeros_like(rid_ref)
+
+    w = w_ref[:].astype(jnp.bfloat16)                        # int8 -> bf16
+    s = jax.lax.dot_general(
+        x_ref[:], w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * ws_ref[:] + b_ref[:].astype(jnp.float32)
+    bv = s.shape[1]
+    base = jv * bv
+    if vocab % bv != 0:
+        colm = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(colm < vocab, s, NEG_INF)
+    _bucket_update(s, base, l_ref, rmax_ref, rid_ref)
+
+
+def _bucket_finish_host(k, l, rmax, rid):
+    """XLA-side finish for the acc kernels: exact row lse from the per-column
+    fixed-offset sum-of-exps plane + top-k over the bucket winners —
+    identical math to the in-kernel _bucket_finish."""
+    lse = jnp.log(jnp.sum(l, axis=-1, keepdims=True))
+    tv, pick = jax.lax.top_k(rmax, k)
+    ids = jnp.take_along_axis(rid, pick, axis=-1)
+    return tv - lse, ids, lse
+
+
+def _acc_out_specs(bn, bv):
+    """out_specs/out_shape builder for the acc kernels: four (N, BV)
+    accumulator planes, one VMEM block per row tile (flushed at grid end)."""
+    spec = pl.BlockSpec((bn, bv), lambda i, j: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return [spec] * 3
+
+
+def _acc_out_shape(n, bv):
+    return [
+        jax.ShapeDtypeStruct((n, bv), jnp.float32),
+        jax.ShapeDtypeStruct((n, bv), jnp.float32),
+        jax.ShapeDtypeStruct((n, bv), jnp.int32),
+    ]
 
 
 def _kernel_q8_bucket(vocab, k, x_ref, w_ref, ws_ref, b_ref,
                       lp_ref, idx_ref, lse_ref,
-                      m_scr, l_scr, rmax_scr, rid_scr):
+                      l_scr, rmax_scr, rid_scr):
     """Bucket-mode int8-weight kernel: streams int8 bytes but converts the
     weight tile to bf16 IN-KERNEL and runs a bf16 MXU dot — Mosaic's native
     int8 dot measured ~3.4 ms slower than the bf16 dot at these shapes, and
@@ -135,7 +224,6 @@ def _kernel_q8_bucket(vocab, k, x_ref, w_ref, ws_ref, b_ref,
 
     @pl.when(jv == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         rmax_scr[:] = jnp.full_like(rmax_scr, NEG_INF)
         rid_scr[:] = jnp.zeros_like(rid_scr)
@@ -152,12 +240,12 @@ def _kernel_q8_bucket(vocab, k, x_ref, w_ref, ws_ref, b_ref,
     if vocab % bv != 0:
         colm = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(colm < vocab, s, NEG_INF)
-    _bucket_update(s, base, m_scr, l_scr, rmax_scr, rid_scr)
+    _bucket_update(s, base, l_scr, rmax_scr, rid_scr)
 
     @pl.when(jv == nv - 1)
     def _finish():
         _bucket_finish(k, lp_ref, idx_ref, lse_ref,
-                       m_scr, l_scr, rmax_scr, rid_scr)
+                       l_scr, rmax_scr, rid_scr)
 
 
 def _tiles(n: int) -> tuple[int, int]:
@@ -294,9 +382,19 @@ def _kernel_q8(vocab, k, window, x_ref, xs_ref, w_ref, ws_ref, b_ref,
 
 
 def _bucket_tiles(n: int) -> tuple[int, int]:
-    """Bucket-mode tiles: the four (BN, BV) f32/int32 accumulators live in
-    VMEM scratch, so BV is kept at 512 and BN at <=512 (4 x 1 MB scratch)."""
-    return min(n, 512), 512
+    """Bucket-mode tiles: the (BN, BV) f32/int32 accumulators live in
+    VMEM scratch (4 x BN x BV x 4 bytes).  The grid iterates vocab chunks
+    innermost, so every extra ROW tile streams the whole head weight again
+    — cover up to 1024 rows (the flagship batch-256 x beam-4 shape) in ONE
+    tile, shrinking BV to keep scratch + x + weight double-buffer inside
+    the ~16 MB VMEM: bn=1024, bv=256 is 4 MB scratch + 2 MB x + 1 MB w."""
+    if n <= 512:
+        return n, 512
+    # 1024-row tile: runs the accumulator-output kernel (XLA finish) —
+    # Mosaic's scoped-vmem accounting charges the in-kernel finish's
+    # select-pass temporaries against the kernel stack and OOMs; without
+    # the finish, bv=256 fits.  256 buckets/row still >> k=9.
+    return min(n, 1024), 256
 
 
 def _bucket_topk_dense(logits, k, bv):
@@ -336,7 +434,7 @@ def _window_topk_dense(logits, k):
     return vals, jnp.take_along_axis(wids, pick, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def fused_head_topk_q8(
     hidden: jnp.ndarray,        # (N, D) bf16/f32
     weight_qt: jnp.ndarray,     # (D, V) int8 — TRANSPOSED quantized embedding
@@ -344,6 +442,7 @@ def fused_head_topk_q8(
     bias: jnp.ndarray,          # (V,)
     k: int,
     select: str = "exact",      # "exact" | "window" (approx_max_k-family)
+    interpret: bool = False,    # run the kernel in interpret mode (CPU tests)
 ):
     """Int8-weight fused head: same contract as fused_head_topk but streams
     int8 weights (256 MB vs 512 MB at the flagship vocab) and runs a native
@@ -358,7 +457,7 @@ def fused_head_topk_q8(
     if select == "bucket":
         # bucket mode streams int8 but computes in bf16 (no activation
         # quant): dequant error = weight rounding only
-        if jax.default_backend() != "tpu":
+        if jax.default_backend() != "tpu" and not interpret:
             logits = jnp.dot(
                 hidden.astype(jnp.bfloat16),
                 weight_qt.astype(jnp.bfloat16),
@@ -370,19 +469,40 @@ def fused_head_topk_q8(
             return vals - lse, ids, lse
         bn, bv = _bucket_tiles(n)
         grid = (pl.cdiv(n, bn), pl.cdiv(v, bv))
+        in_specs = [
+            pl.BlockSpec((bn, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, bv), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bv), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bv), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = (hidden.astype(jnp.bfloat16), weight_qt,
+                weight_scale.reshape(1, v), bias.reshape(1, v))
+        cost = pl.CostEstimate(
+            flops=2 * n * d * v,
+            bytes_accessed=v * d + v * 4 + n * d,
+            transcendentals=n * v,
+        )
+        if bn > 512:
+            # large row tile: accumulator-output kernel + XLA finish (the
+            # in-kernel finish's select-pass temporaries overflow VMEM)
+            accs = pl.pallas_call(
+                functools.partial(_kernel_q8_bucket_acc, v),
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=_acc_out_specs(bn, bv),
+                out_shape=_acc_out_shape(n, bv),
+                cost_estimate=cost,
+                interpret=interpret,
+            )(*args)
+            return _bucket_finish_host(k, *accs)
         lp, idx, lse = pl.pallas_call(
             functools.partial(_kernel_q8_bucket, v, k),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((bn, d), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, bv), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bv), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bv), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((bn, k), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -399,20 +519,15 @@ def fused_head_topk_q8(
             scratch_shapes=[
                 pltpu.VMEM((bn, bv), jnp.float32),
                 pltpu.VMEM((bn, bv), jnp.float32),
-                pltpu.VMEM((bn, bv), jnp.float32),
                 pltpu.VMEM((bn, bv), jnp.int32),
             ],
-            cost_estimate=pl.CostEstimate(
-                flops=2 * n * d * v,
-                bytes_accessed=v * d + v * 4 + n * d,
-                transcendentals=n * v,
-            ),
-        )(hidden.astype(jnp.bfloat16), weight_qt,
-          weight_scale.reshape(1, v), bias.reshape(1, v))
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*args)
         return lp, idx, lse
 
     xq, xs = quantize_rows_dynamic(hidden)
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not interpret:
         acc = jax.lax.dot_general(
             xq, weight_qt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -461,24 +576,26 @@ def fused_head_topk_q8(
             bytes_accessed=v * d + v * 4 + n * d,
             transcendentals=n * v,
         ),
+        interpret=interpret,
     )(xq, xs, weight_qt, weight_scale.reshape(1, v), bias.reshape(1, v))
     return lp, idx, lse
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def fused_head_topk(
     hidden: jnp.ndarray,    # (N, D)
     weight_t: jnp.ndarray,  # (D, V) — PRE-TRANSPOSED tied embedding
     bias: jnp.ndarray,      # (V,)   — final_logits_bias
     k: int,
     select: str = "exact",  # "exact" | "window" (approx_max_k-family)
+    interpret: bool = False,    # run the kernel in interpret mode (CPU tests)
 ):
     """-> (log_probs (N, k) f32, ids (N, k) i32, lse (N, 1) f32) of
     log_softmax(hidden @ weight_t + bias) without materializing logits.
     The caller transposes the (V, D) embedding ONCE outside the decode loop."""
     n, d = hidden.shape
     v = weight_t.shape[1]
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not interpret:
         logits = (
             jnp.dot(hidden, weight_t.astype(hidden.dtype),
                     preferred_element_type=jnp.float32)
@@ -496,6 +613,30 @@ def fused_head_topk(
     if select == "bucket":
         bn, bv = _bucket_tiles(n)
         grid = (pl.cdiv(n, bn), pl.cdiv(v, bv))
+        if bn > 512:
+            # large row tile: accumulator-output kernel + XLA finish (the
+            # in-kernel finish's select-pass temporaries overflow VMEM)
+            accs = pl.pallas_call(
+                functools.partial(_kernel_bucket_acc, v),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((bn, d), lambda i, j: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((d, bv), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, bv), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=_acc_out_specs(bn, bv),
+                out_shape=_acc_out_shape(n, bv),
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * n * d * v,
+                    bytes_accessed=v * d * weight_t.dtype.itemsize + n * d * 2,
+                    transcendentals=n * v,
+                ),
+                interpret=interpret,
+            )(hidden, weight_t, bias.reshape(1, v))
+            return _bucket_finish_host(k, *accs)
         lp, idx, lse = pl.pallas_call(
             functools.partial(_kernel_bucket, v, k),
             grid=grid,
@@ -523,7 +664,6 @@ def fused_head_topk(
             scratch_shapes=[
                 pltpu.VMEM((bn, bv), jnp.float32),
                 pltpu.VMEM((bn, bv), jnp.float32),
-                pltpu.VMEM((bn, bv), jnp.float32),
                 pltpu.VMEM((bn, bv), jnp.int32),
             ],
             cost_estimate=pl.CostEstimate(
@@ -531,6 +671,7 @@ def fused_head_topk(
                 bytes_accessed=v * d * weight_t.dtype.itemsize + n * d * 2,
                 transcendentals=n * v,
             ),
+            interpret=interpret,
         )(hidden, weight_t, bias.reshape(1, v))
         return lp, idx, lse
 
@@ -566,5 +707,6 @@ def fused_head_topk(
             bytes_accessed=v * d * weight_t.dtype.itemsize + n * d * 2,
             transcendentals=n * v,
         ),
+        interpret=interpret,
     )(hidden, weight_t, bias2)
     return lp, idx, lse

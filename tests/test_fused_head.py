@@ -170,3 +170,73 @@ def test_captioner_fused_bucket_matches_dense_small_vocab(num_beams, monkeypatch
     np.testing.assert_allclose(
         np.asarray(fused.scores), np.asarray(dense.scores), rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("n", [256, 1024])
+def test_bucket_kernel_interpret_matches_oracle(n):
+    """The bucket Pallas kernels themselves (interpret mode, so the exact
+    kernel program runs on CPU) == the dense bucket oracle.  n=1024 drives
+    the accumulator-output kernel + XLA finish (bn > 512); n=256 the
+    in-kernel-finish variant."""
+    from mic_tpu.ops.fused_head import _bucket_tiles, _bucket_topk_dense
+
+    d, v, k = 128, 1024, 5
+    rng = np.random.default_rng(0)
+    hidden = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32), jnp.bfloat16)
+    weight_t = jnp.asarray(
+        rng.normal(size=(d, v)).astype(np.float32) * 0.2, jnp.bfloat16
+    )
+    bias = jnp.asarray(rng.normal(size=(v,)).astype(np.float32) * 0.1)
+
+    lp, ids, lse = fused_head_topk(
+        hidden, weight_t, bias, k, "bucket", True
+    )
+    logits = (
+        jnp.dot(hidden, weight_t, preferred_element_type=jnp.float32)
+        + bias[None, :]
+    )
+    ovals, oids = _bucket_topk_dense(logits, k, _bucket_tiles(n)[1])
+    olse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(oids))
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(olse), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(lp), np.asarray(ovals - olse), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_bucket_q8_kernel_interpret_matches_oracle():
+    """int8-weight bucket kernels in interpret mode (both row-tile regimes)
+    == the dequantized dense bucket oracle."""
+    from mic_tpu.ops.fused_head import _bucket_tiles, _bucket_topk_dense
+    from mic_tpu.ops.quant import quantize_rows_dynamic
+
+    d, v, k = 128, 1024, 5
+    rng = np.random.default_rng(1)
+    for n in (256, 1024):
+        hidden = jnp.asarray(
+            rng.normal(size=(n, d)).astype(np.float32), jnp.bfloat16
+        )
+        weight = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32) * 0.2)
+        wq, wsc = quantize_rows_dynamic(weight)
+        wsc = wsc[:, 0]
+        bias = jnp.asarray(rng.normal(size=(v,)).astype(np.float32) * 0.1)
+
+        lp, ids, lse = fused_head_topk_q8(
+            hidden, wq.T, wsc, bias, k, "bucket", True
+        )
+        logits = (
+            jnp.dot(
+                hidden, wq.T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            * wsc[None, :]
+            + bias[None, :]
+        )
+        ovals, oids = _bucket_topk_dense(logits, k, _bucket_tiles(n)[1])
+        olse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(oids))
+        np.testing.assert_allclose(
+            np.asarray(lse), np.asarray(olse), rtol=2e-5, atol=2e-5
+        )

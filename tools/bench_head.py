@@ -71,6 +71,7 @@ def main():
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--k", type=int, default=9)
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--only", default="", help="comma list of variant names")
     args = ap.parse_args()
     n, k = args.n, args.k
 
@@ -147,7 +148,10 @@ def main():
     print(f"n={n} k={k} D={D} V={V}  (bf16 weight = {V*D*2/1e6:.0f} MB, "
           f"int8 = {V*D/1e6:.0f} MB; ~440 GB/s floor: "
           f"{V*D*2/440e6:.2f} / {V*D/440e6:.2f} ms)")
+    only = [x for x in args.only.split(",") if x]
     for name, fn, a_list in rows:
+        if only and name not in only:
+            continue
         try:
             ms = measure(fn, a_list, args.reps)
             print(f"{name:14s} {ms:8.3f} ms")
