@@ -369,12 +369,13 @@ class Captioner:
         # Must mirror _decoder_step_lazy's fused-kernel gate exactly; env
         # MIC_TPU_MERGED_KV=1 forces it (CPU equivalence tests).
         seg_lens = cache_segments if cache_segments else (gen.max_length,)
+        fla = os.environ.get("MIC_TPU_FUSED_LAZY_ATTN", "0")
         merged = lazy and (
             os.environ.get("MIC_TPU_MERGED_KV") == "1"
             or (
                 on_tpu
-                and kv_quant is None
-                and os.environ.get("MIC_TPU_FUSED_LAZY_ATTN", "0") == "1"
+                and (kv_quant is None or fla == "2")
+                and fla in ("1", "2")
                 and gen.num_beams >= 2
                 and (dec.num_heads * dec.head_dim) % 128 == 0
                 and all((gen.num_beams * t) % 16 == 0 for t in seg_lens)

@@ -355,25 +355,26 @@ def _decoder_step_lazy(
     buckets = _attn_buckets(cache.max_len)
 
     # Fused Pallas decode attention (ops/lazy_attention.py): OPT-IN via
-    # MIC_TPU_FUSED_LAZY_ATTN=1.  The kernel itself wins (2.66 vs 3.12
-    # ms/step of score-chain at the flagship shape) but XLA copies any
-    # while-carried cache that is both read by a custom call and
-    # column-written in the same iteration (+1.37 ms/step), which the XLA
-    # lowering's fusion-based in-place update avoids — net regression, so
-    # the XLA path stays the default (see PERFORMANCE.md "measured dead
-    # ends").  The ancestry+liveness mask is layer-invariant: built ONCE
-    # per step and shared by all layers.
+    # MIC_TPU_FUSED_LAZY_ATTN=1 (blocked kernel) or =2 (DMA pass-through
+    # kernel).  The blocked kernel itself wins (2.66 vs 3.12 ms/step of
+    # score-chain at the flagship shape) but XLA copies any while-carried
+    # cache that is both read by a custom call and column-written in the
+    # same iteration (+1.37 ms/step) — net regression.  The =2 variant
+    # passes the caches THROUGH the kernel (aliased ANY operands, manual
+    # DMA) so the write aliases in place; it is the int8-KV vehicle.  The
+    # XLA path stays the default until a variant wins end-to-end (see
+    # PERFORMANCE.md "measured dead ends").  The ancestry+liveness mask is
+    # layer-invariant: built ONCE per step and shared by all layers.
     amask = None
-    if (
-        os.environ.get("MIC_TPU_FUSED_LAZY_ATTN", "0") == "1"
-        and jax.default_backend() == "tpu"
-        and not buckets
-    ):
+    fla = os.environ.get("MIC_TPU_FUSED_LAZY_ATTN", "0")
+    if fla in ("1", "2") and jax.default_backend() == "tpu" and not buckets:
         from mic_tpu.ops import lazy_attention
 
-        if lazy_attention.supports(
-            cache.self_k[0], beams, cfg.num_heads, cfg.head_dim
-        ):
+        ok = (
+            lazy_attention.supports_dma if fla == "2"
+            else lazy_attention.supports
+        )(cache.self_k[0], beams, cfg.num_heads, cfg.head_dim)
+        if ok:
             amask = lazy_attention.build_ancestry_mask(cache.ancestry, index)
 
     x = embed_tokens(shared, token_ids, cfg, dtype)

@@ -9,6 +9,7 @@ self/cross attention via HF FlaxMBartAttention) — rebuilt functionally.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -182,40 +183,74 @@ def mha_decode_step_lazy(
         # Fused Pallas decode attention (ops/lazy_attention.py): the whole
         # score/mask/softmax/weight pipeline stays in VMEM.  The kernel reads
         # the PRE-update cache (the current step's K/V go in as small extra
-        # inputs) so the column write below has the loop carry as its ONLY
-        # consumer and XLA aliases it in place — with the write first, the
-        # cache value feeds both the custom-call and the carry and XLA
-        # materializes a copy (profiled 1.48 ms/step vs 0.07 at batch 128).
+        # inputs); the column write happens after.  Two variants:
+        #   MIC_TPU_FUSED_LAZY_ATTN=2 — the DMA pass-through kernel: the
+        #     caches flow THROUGH the kernel (ANY-space, aliased, untouched)
+        #     so the write below consumes the kernel OUTPUT and XLA aliases
+        #     it in place.  The only copy-free structure found (see
+        #     PERFORMANCE.md); enables in-kernel int8-KV streaming.
+        #   MIC_TPU_FUSED_LAZY_ATTN=1 — the blocked kernel: faster kernel,
+        #     but XLA materializes the carried cache (+1.37 ms/step) because
+        #     a custom call reads it in the same iteration as the write.
         # `amask` is the per-STEP ancestry+liveness mask with STRICT t<index
         # liveness (layer-invariant, built once in _decoder_step_lazy).
-        from mic_tpu.ops.lazy_attention import fused_lazy_attention
+        from mic_tpu.ops import lazy_attention as la
 
-        out = fused_lazy_attention(
-            q.reshape(b, beams, d), cache_k, cache_v,
-            k_step.reshape(b, beams, d), v_step.reshape(b, beams, d),
-            amask, beams, num_heads,
-        )
+        dma = os.environ.get("MIC_TPU_FUSED_LAZY_ATTN") == "2"
+        if dma:
+            out, cache_k, cache_v = la.fused_lazy_attention_dma(
+                q.reshape(b, beams, d), cache_k, cache_v,
+                k_step.reshape(b, beams, d), v_step.reshape(b, beams, d),
+                amask, beams, num_heads,
+            )
+        else:
+            out = la.fused_lazy_attention(
+                q.reshape(b, beams, d), cache_k, cache_v,
+                k_step.reshape(b, beams, d), v_step.reshape(b, beams, d),
+                amask, beams, num_heads,
+            )
         if quant:
             from mic_tpu.ops.quant import quantize_rows_dynamic
 
-            kq8, ks = quantize_rows_dynamic(k_step)
-            vq8, vs = quantize_rows_dynamic(v_step)
-            cache_k = {
-                "q": jax.lax.dynamic_update_slice(
-                    cache_k["q"], kq8, (0, index, 0, 0)
-                ),
-                "s": jax.lax.dynamic_update_slice(
-                    cache_k["s"], ks[..., 0], (0, index, 0)
-                ),
-            }
-            cache_v = {
-                "q": jax.lax.dynamic_update_slice(
-                    cache_v["q"], vq8, (0, index, 0, 0)
-                ),
-                "s": jax.lax.dynamic_update_slice(
-                    cache_v["s"], vs[..., 0], (0, index, 0)
-                ),
-            }
+            if cache_k["q"].ndim == 3:
+                # merged int8 (B*K, T, HD) + per-ROW (B*K, T) scales
+                kq8, ks = quantize_rows_dynamic(k_step.reshape(bk, 1, d))
+                vq8, vs = quantize_rows_dynamic(v_step.reshape(bk, 1, d))
+                cache_k = {
+                    "q": jax.lax.dynamic_update_slice(
+                        cache_k["q"], kq8, (0, index, 0)
+                    ),
+                    "s": jax.lax.dynamic_update_slice(
+                        cache_k["s"], ks.reshape(bk, 1), (0, index)
+                    ),
+                }
+                cache_v = {
+                    "q": jax.lax.dynamic_update_slice(
+                        cache_v["q"], vq8, (0, index, 0)
+                    ),
+                    "s": jax.lax.dynamic_update_slice(
+                        cache_v["s"], vs.reshape(bk, 1), (0, index)
+                    ),
+                }
+            else:
+                kq8, ks = quantize_rows_dynamic(k_step)
+                vq8, vs = quantize_rows_dynamic(v_step)
+                cache_k = {
+                    "q": jax.lax.dynamic_update_slice(
+                        cache_k["q"], kq8, (0, index, 0, 0)
+                    ),
+                    "s": jax.lax.dynamic_update_slice(
+                        cache_k["s"], ks[..., 0], (0, index, 0)
+                    ),
+                }
+                cache_v = {
+                    "q": jax.lax.dynamic_update_slice(
+                        cache_v["q"], vq8, (0, index, 0, 0)
+                    ),
+                    "s": jax.lax.dynamic_update_slice(
+                        cache_v["s"], vs[..., 0], (0, index, 0)
+                    ),
+                }
         elif cache_k.ndim == 3:
             cache_k = jax.lax.dynamic_update_slice(
                 cache_k, k_step.reshape(bk, 1, d), (0, index, 0)
@@ -233,26 +268,51 @@ def mha_decode_step_lazy(
         return dense(params["o"], out.reshape(bk, one, d)), cache_k, cache_v
 
     if quant:
-        # int8 KV cache: per-(row, position, head) scales; halves the decode
-        # loop's dominant HBM stream (the cache read). The int8->compute
-        # convert fuses into the einsum operand loads; scales multiply the
-        # SMALL scores/weights tensors, never a cache-sized one.
+        # int8 KV cache: per-(row, position, head) scales (4-dim) or per-row
+        # scales (merged); halves the decode loop's dominant HBM stream (the
+        # cache read). The int8->compute convert fuses into the einsum
+        # operand loads; scales multiply the SMALL scores/weights tensors,
+        # never a cache-sized one.
         from mic_tpu.ops.quant import quantize_rows_dynamic
 
-        kq8, ks = quantize_rows_dynamic(k_step)                 # (BK,1,H,Dh),(BK,1,H,1)
-        vq8, vs = quantize_rows_dynamic(v_step)
-        cache_k = {
-            "q": jax.lax.dynamic_update_slice(cache_k["q"], kq8, (0, index, 0, 0)),
-            "s": jax.lax.dynamic_update_slice(
-                cache_k["s"], ks[..., 0], (0, index, 0)
-            ),
-        }
-        cache_v = {
-            "q": jax.lax.dynamic_update_slice(cache_v["q"], vq8, (0, index, 0, 0)),
-            "s": jax.lax.dynamic_update_slice(
-                cache_v["s"], vs[..., 0], (0, index, 0)
-            ),
-        }
+        if cache_k["q"].ndim == 3:  # merged int8 (B*K, T, HD) + (B*K, T)
+            kq8, ks = quantize_rows_dynamic(k_step.reshape(bk, 1, d))
+            vq8, vs = quantize_rows_dynamic(v_step.reshape(bk, 1, d))
+            cache_k = {
+                "q": jax.lax.dynamic_update_slice(
+                    cache_k["q"], kq8, (0, index, 0)
+                ),
+                "s": jax.lax.dynamic_update_slice(
+                    cache_k["s"], ks.reshape(bk, 1), (0, index)
+                ),
+            }
+            cache_v = {
+                "q": jax.lax.dynamic_update_slice(
+                    cache_v["q"], vq8, (0, index, 0)
+                ),
+                "s": jax.lax.dynamic_update_slice(
+                    cache_v["s"], vs.reshape(bk, 1), (0, index)
+                ),
+            }
+        else:
+            kq8, ks = quantize_rows_dynamic(k_step)         # (BK,1,H,Dh),(BK,1,H,1)
+            vq8, vs = quantize_rows_dynamic(v_step)
+            cache_k = {
+                "q": jax.lax.dynamic_update_slice(
+                    cache_k["q"], kq8, (0, index, 0, 0)
+                ),
+                "s": jax.lax.dynamic_update_slice(
+                    cache_k["s"], ks[..., 0], (0, index, 0)
+                ),
+            }
+            cache_v = {
+                "q": jax.lax.dynamic_update_slice(
+                    cache_v["q"], vq8, (0, index, 0, 0)
+                ),
+                "s": jax.lax.dynamic_update_slice(
+                    cache_v["s"], vs[..., 0], (0, index, 0)
+                ),
+            }
         t = cache_k["q"].shape[1]
     elif cache_k.ndim == 3:
         # merged (B*K, T, H*Dh) storage (fused-kernel mode): padding-free on
@@ -277,11 +337,19 @@ def mha_decode_step_lazy(
         if quant:
             kg = cache_k["q"][:, :tb].reshape(b, beams, tb, num_heads, head_dim)
             vg = cache_v["q"][:, :tb].reshape(b, beams, tb, num_heads, head_dim)
-            # (B, J, tb, H) -> (B, H, 1, J, tb) to scale scores/weights
-            ksc = cache_k["s"][:, :tb].reshape(b, beams, tb, num_heads)
-            ksc = ksc.transpose(0, 3, 1, 2)[:, :, None]
-            vsc = cache_v["s"][:, :tb].reshape(b, beams, tb, num_heads)
-            vsc = vsc.transpose(0, 3, 1, 2)[:, :, None]
+            if cache_k["s"].ndim == 2:
+                # per-ROW (B*K, T) scales (merged-int8 format):
+                # (B, J, tb) -> (B, 1, 1, J, tb), broadcast over H and K
+                ksc = cache_k["s"][:, :tb].reshape(b, beams, tb)
+                ksc = ksc[:, None, None]
+                vsc = cache_v["s"][:, :tb].reshape(b, beams, tb)
+                vsc = vsc[:, None, None]
+            else:
+                # (B, J, tb, H) -> (B, H, 1, J, tb) to scale scores/weights
+                ksc = cache_k["s"][:, :tb].reshape(b, beams, tb, num_heads)
+                ksc = ksc.transpose(0, 3, 1, 2)[:, :, None]
+                vsc = cache_v["s"][:, :tb].reshape(b, beams, tb, num_heads)
+                vsc = vsc.transpose(0, 3, 1, 2)[:, :, None]
         else:
             kg = cache_k[:, :tb].reshape(b, beams, tb, num_heads, head_dim)
             vg = cache_v[:, :tb].reshape(b, beams, tb, num_heads, head_dim)

@@ -247,12 +247,28 @@ def init_lazy_cache(
     (B*K, T, H*Dh) — the layout the fused Pallas decode-attention kernel
     consumes; padding-free on TPU (see LazyDecoderCache docstring)."""
     if kv_quant == "int8":
-        kv = {
-            "q": jnp.zeros(
-                (batch * num_beams, max_len, num_heads, head_dim), jnp.int8
-            ),
-            "s": jnp.zeros((batch * num_beams, max_len, num_heads), jnp.float32),
-        }
+        # merged int8 (the fused DMA kernel's layout) quantizes per ROW —
+        # one (B*K, T) scale plane; Mosaic rejects the sub-128-lane slices a
+        # per-head scale tile would take in-kernel.  The canonical 4-dim
+        # int8 cache keeps per-(row, position, head) scales.
+        if merged:
+            kv = {
+                "q": jnp.zeros(
+                    (batch * num_beams, max_len, num_heads * head_dim),
+                    jnp.int8,
+                ),
+                "s": jnp.zeros((batch * num_beams, max_len), jnp.float32),
+            }
+        else:
+            kv = {
+                "q": jnp.zeros(
+                    (batch * num_beams, max_len, num_heads, head_dim),
+                    jnp.int8,
+                ),
+                "s": jnp.zeros(
+                    (batch * num_beams, max_len, num_heads), jnp.float32
+                ),
+            }
     elif kv_quant:
         raise ValueError(f"unsupported kv_quant: {kv_quant!r}")
     elif merged:

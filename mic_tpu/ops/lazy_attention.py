@@ -78,7 +78,8 @@ def _attend_tiles(kt, vt, q, ks_step, vs_step, am, ks, vs,
     (appended as K extra score rows, each live only for its own query beam;
     None = no step rows, e.g. cross-attention), am (JT, K) int8 or None
     (None = every row live for every beam — shared-source attention),
-    ks/vs (JT, H) f32 scale tiles or None -> (K, HD) attention output.
+    ks/vs f32 scale tiles or None: (JT, H) per-(row, head) or (JT, 1)
+    per-row -> (K, HD) attention output.
     """
     K, H, Dh = beams, heads, head_dim
     HD = H * Dh
@@ -96,8 +97,9 @@ def _attend_tiles(kt, vt, q, ks_step, vs_step, am, ks, vs,
         preferred_element_type=jnp.float32,
     )                                                        # (JT, K*H)
     if ks is not None:
-        # per-(row, head) K scale: column k*H + h needs ks[:, h] == tile
-        s = s * jnp.tile(ks, (1, K))
+        # per-(row, head) K scale: column k*H + h needs ks[:, h] == tile;
+        # per-ROW scale (JT, 1) broadcasts directly
+        s = s * (ks if ks.shape[1] == 1 else jnp.tile(ks, (1, K)))
     if am is not None:
         amr = _expand_per_beam(am, K, H) != 0                # (JT, K*H)
         s = jnp.where(amr, s, NEG)
@@ -132,7 +134,7 @@ def _attend_tiles(kt, vt, q, ks_step, vs_step, am, ks, vs,
         # cache-sized V tile twice: out column d only reads rows with
         # h == d // Dh, where the folded scale matches exactly.  The step
         # rows are unquantized — no scale.
-        w_hist = w_hist * jnp.tile(vs, (1, K))
+        w_hist = w_hist * (vs if vs.shape[1] == 1 else jnp.tile(vs, (1, K)))
     w_hist = w_hist.astype(jnp.bfloat16)
 
     of = jax.lax.dot_general(
@@ -275,3 +277,284 @@ def fused_lazy_attention(
             transcendentals=b * jt * k * num_heads,
         ),
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# v2: manual-DMA pass-through kernel.
+#
+# The blocked kernel above loses end-to-end because XLA's copy-insertion
+# materializes any while-carried cache that is both read by a custom call
+# and column-written in the same loop iteration (+1.37 ms/step profiled;
+# neither update order nor optimization_barrier avoids it — see
+# PERFORMANCE.md).  Here the cache is instead passed THROUGH the kernel:
+# ANY-memory-space operands aliased to ANY outputs that the kernel never
+# writes, with the compute tiles streamed by explicit DMA.  The downstream
+# column write then consumes the kernel's OUTPUT — one linear ownership
+# chain, which XLA updates in place (verified: a 12-cache repro runs the
+# write at the no-copy cost).
+#
+# Because the kernel owns its DMA, the int8-KV cache becomes profitable for
+# the first time: the bytes halve and the int8->bf16 convert happens on the
+# resident VMEM tile (the XLA int8-KV path lost to convert/materialization
+# overhead — PERFORMANCE.md "measured dead ends").
+# ---------------------------------------------------------------------------
+
+
+def _dma_group(batch: int, per_image_bytes: int) -> int:
+    """Images per grid cell: fewer, larger DMAs (one per G images) while the
+    DOUBLE-BUFFERED K/V slots (2 x 2 buffers) stay within ~8 MB of VMEM."""
+    for g in (8, 4, 2, 1):
+        if batch % g == 0 and g * per_image_bytes <= 2 * 1024 * 1024:
+            return g
+    return 1
+
+
+def _kernel_dma_bf16(G, beams, heads, head_dim,
+                     ck_hbm, cv_hbm, q_ref, kst_ref, vst_ref, am_ref,
+                     cko, cvo, o_ref, kbuf, vbuf, ksem, vsem):
+    del cko, cvo  # pass-through aliases: never read, never written
+    K = beams
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    rows = G * K
+
+    # double-buffered prefetch: grid instances run sequentially on TPU, so
+    # instance i computes from slot i%2 while instance i+1's K/V stream into
+    # the other slot — the naive issue-then-wait version serialized ~768 DMA
+    # round-trips per decode step (measured 199.9 vs 237.8 captions/s/chip)
+    def cp_k(g, slot):
+        return pltpu.make_async_copy(
+            ck_hbm.at[pl.ds(g * rows, rows)], kbuf.at[slot], ksem.at[slot]
+        )
+
+    def cp_v(g, slot):
+        return pltpu.make_async_copy(
+            cv_hbm.at[pl.ds(g * rows, rows)], vbuf.at[slot], vsem.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _first():
+        cp_k(0, 0).start()
+        cp_v(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _prefetch():
+        cp_k(i + 1, (i + 1) % 2).start()
+        cp_v(i + 1, (i + 1) % 2).start()
+
+    slot = i % 2
+    cp_k(i, slot).wait()
+    cp_v(i, slot).wait()
+    t, hd = kbuf.shape[2], kbuf.shape[3]
+    for g in range(G):
+        kt = kbuf[slot, g * K:(g + 1) * K].reshape(K * t, hd)
+        vt = vbuf[slot, g * K:(g + 1) * K].reshape(K * t, hd)
+        o_ref[g] = _attend_tiles(
+            kt.astype(jnp.bfloat16), vt.astype(jnp.bfloat16),
+            q_ref[g], kst_ref[g], vst_ref[g], am_ref[g],
+            None, None, beams, heads, head_dim, o_ref.dtype,
+        )
+
+
+def _rows_to_col(S, K: int, T: int):
+    """(K, T) f32 -> (K*T, 1): out[k*T + t] = S[k, t].
+
+    Mosaic rejects the direct reshape (a lane->sublane shape cast); this is
+    the MXU-friendly formulation: replicate each of the K rows T times with
+    a one-hot row-select matmul, mask to the diagonal t, reduce over lanes
+    with a ones-matmul."""
+    kt = K * T
+    a = (
+        jax.lax.broadcasted_iota(jnp.int32, (kt, K), 0) // T
+        == jax.lax.broadcasted_iota(jnp.int32, (kt, K), 1)
+    ).astype(jnp.float32)
+    tmp = jax.lax.dot_general(
+        a, S.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                        # (KT, T)
+    tmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (kt, T), 0) % T
+        == jax.lax.broadcasted_iota(jnp.int32, (kt, T), 1)
+    )
+    tmp = jnp.where(tmask, tmp, 0.0)
+    ones = jnp.ones((T, 1), jnp.float32)
+    return jax.lax.dot_general(
+        tmp, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                        # (KT, 1)
+
+
+def _kernel_dma_q8(G, beams, heads, head_dim,
+                   ck_hbm, cv_hbm,
+                   ksc_ref, vsc_ref, q_ref, kst_ref, vst_ref, am_ref,
+                   cko, cvo, o_ref,
+                   kbuf, vbuf, ksem, vsem):
+    """int8 variant: the big int8 VALUE planes are manual-DMA pass-throughs;
+    the tiny per-ROW (B*K, T) f32 scale planes arrive as ordinary blocked
+    VMEM inputs — Mosaic cannot DMA into a sub-128-lane f32 buffer, and the
+    copy XLA inserts for a custom-call-read carried buffer is negligible at
+    scale-plane size (~100 KB vs the 10s-of-MB value planes)."""
+    del cko, cvo
+    K = beams
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    rows = G * K
+
+    def cp_k(g, slot):
+        return pltpu.make_async_copy(
+            ck_hbm.at[pl.ds(g * rows, rows)], kbuf.at[slot], ksem.at[slot]
+        )
+
+    def cp_v(g, slot):
+        return pltpu.make_async_copy(
+            cv_hbm.at[pl.ds(g * rows, rows)], vbuf.at[slot], vsem.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _first():
+        cp_k(0, 0).start()
+        cp_v(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _prefetch():
+        cp_k(i + 1, (i + 1) % 2).start()
+        cp_v(i + 1, (i + 1) % 2).start()
+
+    slot = i % 2
+    cp_k(i, slot).wait()
+    cp_v(i, slot).wait()
+    t, hd = kbuf.shape[2], kbuf.shape[3]
+    for g in range(G):
+        sl = slice(g * K, (g + 1) * K)
+        kt = kbuf[slot, sl].reshape(K * t, hd).astype(jnp.bfloat16)
+        vt = vbuf[slot, sl].reshape(K * t, hd).astype(jnp.bfloat16)
+        # per-ROW scales: (K, T) -> (K*T, 1)
+        ks = _rows_to_col(ksc_ref[sl], K, t)
+        vs = _rows_to_col(vsc_ref[sl], K, t)
+        o_ref[g] = _attend_tiles(
+            kt, vt, q_ref[g], kst_ref[g], vst_ref[g], am_ref[g],
+            ks, vs, beams, heads, head_dim, o_ref.dtype,
+        )
+
+
+def supports_dma(cache_k, beams: int, num_heads: int, head_dim: int) -> bool:
+    """v2 guard: MERGED (B*K, T, H*Dh) storage required (the DMA row slices
+    and the free in-VMEM (K, T, HD) -> (K*T, HD) view both assume it); int8
+    caches additionally need per-ROW (B*K, T) scales — Mosaic rejects the
+    sub-128-lane slices a per-head scale tile would take."""
+    quant = isinstance(cache_k, dict)
+    kv = cache_k["q"] if quant else cache_k
+    if quant and cache_k["s"].ndim != 2:
+        return False
+    return (
+        beams >= 2
+        and kv.ndim == 3
+        and (num_heads * head_dim) % 128 == 0
+        and kv.shape[1] % 8 == 0
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def fused_lazy_attention_dma(
+    q: jnp.ndarray,        # (B, K, HD) — query, already head_dim**-0.5-scaled
+    cache_k,               # merged (B*K, T, H*Dh) bf16 — or int8 dict
+    cache_v,               # {"q": (B*K, T, HD) int8, "s": (B*K, T, H) f32}
+    k_step: jnp.ndarray,   # (B, K, HD) — the current step's K/V rows
+    v_step: jnp.ndarray,
+    amask: jnp.ndarray,    # (B, J*T, K) int8 from build_ancestry_mask
+    beams: int,
+    num_heads: int,
+    interpret: bool = False,
+):
+    """-> (out (B, K, HD), cache_k, cache_v): same math as
+    fused_lazy_attention, but the caches flow THROUGH the kernel (aliased,
+    untouched) so the caller's subsequent column write aliases in place.
+    Callers MUST thread the returned caches onward."""
+    b, k, hd = q.shape
+    head_dim = hd // num_heads
+    quant = isinstance(cache_k, dict)
+    kv = cache_k["q"] if quant else cache_k
+    t = kv.shape[1]
+    jt = k * t
+    esize = 1 if quant else 2
+    G = _dma_group(b, k * t * hd * esize)
+
+    blk = lambda shape: pl.BlockSpec(  # noqa: E731
+        (G,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    small_in = [blk((k, hd)), blk((k, hd)), blk((k, hd)), blk((jt, k))]
+    small_args = [
+        q.astype(jnp.bfloat16),
+        k_step.astype(jnp.bfloat16), v_step.astype(jnp.bfloat16),
+        amask,
+    ]
+    cache_bytes = esize * 2 * jt * hd
+
+    if quant:
+        kern = functools.partial(
+            _kernel_dma_q8, G, k, num_heads, head_dim
+        )
+        scale_spec = pl.BlockSpec(
+            (G * k, t), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        outs = pl.pallas_call(
+            kern,
+            grid=(b // G,),
+            in_specs=[any_spec] * 2 + [scale_spec] * 2 + small_in,
+            out_specs=[any_spec] * 2 + [blk((k, hd))],
+            out_shape=[
+                jax.ShapeDtypeStruct(cache_k["q"].shape, cache_k["q"].dtype),
+                jax.ShapeDtypeStruct(cache_v["q"].shape, cache_v["q"].dtype),
+                jax.ShapeDtypeStruct((b, k, hd), q.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, G * k, t, hd), jnp.int8),
+                pltpu.VMEM((2, G * k, t, hd), jnp.int8),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            input_output_aliases={0: 0, 1: 1},
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=b * 2 * (2 * jt * hd * k * num_heads),
+                bytes_accessed=b * cache_bytes,
+                transcendentals=b * jt * k * num_heads,
+            ),
+        )(cache_k["q"], cache_v["q"], cache_k["s"], cache_v["s"], *small_args)
+        ckq, cvq, out = outs
+        return (
+            out,
+            {"q": ckq, "s": cache_k["s"]},
+            {"q": cvq, "s": cache_v["s"]},
+        )
+
+    kern = functools.partial(_kernel_dma_bf16, G, k, num_heads, head_dim)
+    outs = pl.pallas_call(
+        kern,
+        grid=(b // G,),
+        in_specs=[any_spec] * 2 + small_in,
+        out_specs=[any_spec] * 2 + [blk((k, hd))],
+        out_shape=[
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+            jax.ShapeDtypeStruct((b, k, hd), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, G * k, t, hd), cache_k.dtype),
+            pltpu.VMEM((2, G * k, t, hd), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={0: 0, 1: 1},
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * 2 * (2 * jt * hd * k * num_heads),
+            bytes_accessed=b * cache_bytes,
+            transcendentals=b * jt * k * num_heads,
+        ),
+    )(cache_k, cache_v, *small_args)
+    out_k, out_v, out = outs
+    return out, out_k, out_v

@@ -176,3 +176,69 @@ def test_supports_guard():
     assert supports({"q": kv, "s": jnp.zeros((8, 16, 16))}, 4, 16, 64)
     merged = jnp.zeros((8, 16, 1024), jnp.bfloat16)
     assert supports(merged, 4, 16, 64)
+
+
+def test_dma_kernel_matches_blocked_bf16():
+    """fused_lazy_attention_dma (manual-DMA pass-through variant) == the
+    blocked kernel, and the pass-through caches come back bit-identical."""
+    from mic_tpu.ops.lazy_attention import fused_lazy_attention_dma
+
+    b, k, h, dh, t, index = 2, 4, 16, 64, 32, 17
+    q, ck, cv, kst, vst, anc, ckp, cvp = _inputs(b, k, h, dh, t, index)
+    idx = jnp.asarray(index, jnp.int32)
+    amask = build_ancestry_mask(anc, idx)
+    ckm = ck.reshape(b * k, t, h * dh)
+    cvm = cv.reshape(b * k, t, h * dh)
+    ref = np.asarray(
+        fused_lazy_attention(q, ckm, cvm, kst, vst, amask, k, h,
+                             interpret=True),
+        np.float32,
+    )
+    out, ck_pt, cv_pt = fused_lazy_attention_dma(
+        q, ckm, cvm, kst, vst, amask, k, h, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out, np.float32), ref)
+    np.testing.assert_array_equal(np.asarray(ck_pt), np.asarray(ckm))
+    np.testing.assert_array_equal(np.asarray(cv_pt), np.asarray(cvm))
+
+
+def test_dma_kernel_int8_merged_close():
+    """merged-int8 v2 format: (B*K, T, HD) int8 values + per-ROW (B*K, T)
+    f32 scales (quantized over the full merged row)."""
+    from mic_tpu.ops.lazy_attention import fused_lazy_attention_dma
+
+    b, k, h, dh, t = 2, 4, 16, 64, 32
+    index = t - 1
+    q, ck, cv, kst, vst, anc, ckp, cvp = _inputs(b, k, h, dh, t, index, seed=3)
+    idx = jnp.asarray(index, jnp.int32)
+    amask = build_ancestry_mask(anc, idx)
+    ckm = ck.reshape(b * k, t, h * dh)
+    cvm = cv.reshape(b * k, t, h * dh)
+    kq8, ks = quantize_rows_dynamic(ckm)
+    vq8, vs = quantize_rows_dynamic(cvm)
+    ck8 = {"q": kq8, "s": ks[..., 0]}
+    cv8 = {"q": vq8, "s": vs[..., 0]}
+    ref = np.asarray(_dense_ref(q, ckp, cvp, anc, idx, h), np.float32)
+    out, ck_pt, cv_pt = fused_lazy_attention_dma(
+        q, ck8, cv8, kst, vst, amask, k, h, interpret=True
+    )
+    scale = np.max(np.abs(ref)) + 1e-9
+    assert np.max(np.abs(np.asarray(out, np.float32) - ref)) / scale < 0.08
+    np.testing.assert_array_equal(np.asarray(ck_pt["q"]), np.asarray(ck8["q"]))
+    np.testing.assert_array_equal(np.asarray(cv_pt["s"]), np.asarray(cv8["s"]))
+
+
+def test_supports_dma_guard():
+    from mic_tpu.ops.lazy_attention import supports_dma
+
+    merged = jnp.zeros((8, 16, 1024), jnp.bfloat16)
+    assert supports_dma(merged, 4, 16, 64)
+    assert not supports_dma(merged, 1, 16, 64)
+    assert not supports_dma(jnp.zeros((8, 16, 16, 64), jnp.bfloat16), 4, 16, 64)
+    assert not supports_dma(jnp.zeros((8, 12, 1024), jnp.bfloat16), 4, 16, 64)
+    q8 = {"q": jnp.zeros((8, 16, 1024), jnp.int8),
+          "s": jnp.zeros((8, 16), jnp.float32)}
+    assert supports_dma(q8, 4, 16, 64)
+    q8_perhead = {"q": jnp.zeros((8, 16, 1024), jnp.int8),
+                  "s": jnp.zeros((8, 16, 16), jnp.float32)}
+    assert not supports_dma(q8_perhead, 4, 16, 64)  # needs per-ROW scales
