@@ -33,10 +33,17 @@ import numpy as np
 # weight pass (237.8 vs 226.3 at 128; pre-fused-head 256 LOST to 128 because
 # the dense top-k path scaled superlinearly — see PERFORMANCE.md batch sweep)
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
-MAX_LENGTH = 64
+MAX_LENGTH = int(os.environ.get("BENCH_MAXLEN", "64"))
 NUM_BEAMS = 4
 TARGET_PER_CHIP = 5000 / 8  # north-star: 5k captions/s on v5e-8
 SKIP_LATENCY = os.environ.get("BENCH_SKIP_LATENCY", "") == "1"
+SKIP_TRAIN = os.environ.get("BENCH_SKIP_TRAIN", "") == "1"
+# the reference's per-device batch (run.sh:29); the dense-logit CE OOMs at 64
+# on a 16 GB chip, so the bench uses the production path: chunked fused CE
+# (ops/fused_ce.py) + full remat — exactly what cli/train.py defaults to at
+# this batch (PERFORMANCE.md "Training")
+TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "64"))
+TRAIN_SEQ = 64
 
 
 def _measure(fn, params, batches, reps):
@@ -50,6 +57,101 @@ def _measure(fn, params, batches, reps):
         np.asarray(fn(params, batches[r]))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
+
+
+def bench_train(config) -> float:
+    """Pretrain samples/sec/chip (BASELINE.json north-star metric) on the
+    device alone: synthetic batches, steps chained through the donated state
+    so every step's full update executes, loss read back each rep.
+
+    Reference baseline: ~26 samples/s/chip (70k steps x 512 global batch in
+    ~2 days on a v3-8, /root/reference/README.md:87,99)."""
+    import optax
+
+    from mic_tpu.models.captioner import Captioner
+    from mic_tpu.ops.fused_ce import fused_lm_loss
+    from mic_tpu.ops.image_prep import maybe_preprocess
+    from mic_tpu.train.schedule import linear_warmup_linear_decay
+    from mic_tpu.train.state import TrainState, make_optimizer
+
+    model = Captioner(config, remat=True)
+    optimizer = make_optimizer(linear_warmup_linear_decay(5e-5, 10000, 1000))
+
+    def init_state():
+        params = model.init_params(jax.random.PRNGKey(0))
+        return TrainState.create(params, optimizer, 0)
+
+    state = jax.jit(init_state)()
+    jax.block_until_ready(state.params)
+
+    def train_step(state, batch):
+        pixels = maybe_preprocess(
+            batch["pixel_values"], config.vision.image_size,
+            config.compute_dtype,
+        )
+        rng = jax.random.fold_in(state.dropout_rng, state.step)
+
+        def loss_fn(params):
+            vision_rng = jax.random.fold_in(rng, 0x5649)
+            enc = model.encode(params, pixels, rng=vision_rng)
+            hidden = model.decode_hidden(
+                params, enc, batch["decoder_input_ids"],
+                batch["decoder_attention_mask"], rng,
+            )
+            return fused_lm_loss(
+                hidden, params["shared"]["embedding"],
+                params["final_logits_bias"], batch["labels"],
+                batch["decoder_attention_mask"], 0.1, 256,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, opt_state, state.step + 1, state.dropout_rng),
+            loss,
+        )
+
+    p_step = jax.jit(train_step, donate_argnums=(0,))
+
+    rng = np.random.default_rng(1)
+    vocab = config.decoder.vocab_size
+
+    def make_batch():
+        return {
+            "pixel_values": jnp.asarray(rng.integers(
+                0, 255, size=(TRAIN_BATCH, 256, 256, 3), dtype=np.uint8
+            )),
+            "labels": jnp.asarray(rng.integers(
+                4, vocab, size=(TRAIN_BATCH, TRAIN_SEQ)
+            ).astype(np.int32)),
+            "decoder_input_ids": jnp.asarray(rng.integers(
+                4, vocab, size=(TRAIN_BATCH, TRAIN_SEQ)
+            ).astype(np.int32)),
+            "decoder_attention_mask": jnp.ones(
+                (TRAIN_BATCH, TRAIN_SEQ), jnp.int32
+            ),
+        }
+
+    batches = [make_batch() for _ in range(6)]
+    t0 = time.perf_counter()
+    state, loss = p_step(state, batches[0])
+    float(loss)
+    print(f"train compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    times = []
+    for b in batches[1:]:
+        t0 = time.perf_counter()
+        state, loss = p_step(state, b)
+        assert np.isfinite(float(loss))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    print(
+        f"train: per-device batch {TRAIN_BATCH}, step {dt*1e3:.1f}ms",
+        file=sys.stderr,
+    )
+    return TRAIN_BATCH / dt
 
 
 def main() -> None:
@@ -116,8 +218,8 @@ def main() -> None:
         int8_per_chip = round(BATCH / dt8, 2)
         print(f"int8 weights: step={dt8*1e3:.1f}ms", file=sys.stderr)
 
-    # -- serving p50: batch=1 -------------------------------------------------
-    p50_ms = None
+    # -- serving p50: batch=1, bf16 and int8 weights --------------------------
+    p50_ms = p50_ms_int8 = None
     if not SKIP_LATENCY:
         lat_reps = 5
         lat_batches = make_batches(1, lat_reps + 1)
@@ -128,6 +230,30 @@ def main() -> None:
         p50_ms = round(p50 * 1e3, 1)
         print(f"p50 single-image beam-4 latency: {p50_ms}ms", file=sys.stderr)
 
+        # int8-weight p50: batch-1 decode is pure weight streaming, so this
+        # is the best latency the framework ships (PERFORMANCE.md)
+        @jax.jit
+        def caption1_int8(params, images_u8):
+            pixels = maybe_preprocess(
+                images_u8, config.vision.image_size, model.dtype
+            )
+            return model.generate(
+                params, pixels,
+                max_length=MAX_LENGTH, num_beams=NUM_BEAMS,
+                forced_bos_token_id=250004, quantize="int8",
+            ).sequences
+
+        np.asarray(caption1_int8(params, lat_batches[0]))
+        p50_8 = _measure(caption1_int8, params, lat_batches[1:], lat_reps)
+        p50_ms_int8 = round(p50_8 * 1e3, 1)
+        print(f"p50 int8 latency: {p50_ms_int8}ms", file=sys.stderr)
+
+    # -- pretrain samples/sec/chip (device step only) -------------------------
+    train_rate = None
+    if not SKIP_TRAIN:
+        train_rate = bench_train(config)
+        print(f"train samples/s/chip: {train_rate:.1f}", file=sys.stderr)
+
     out = {
         "metric": "captions_per_sec_per_chip_beam4",
         "value": round(per_chip, 2),
@@ -136,8 +262,12 @@ def main() -> None:
     }
     if p50_ms is not None:
         out["p50_latency_ms_batch1"] = p50_ms
+    if p50_ms_int8 is not None:
+        out["p50_latency_ms_int8"] = p50_ms_int8
     if int8_per_chip is not None:
         out["captions_per_sec_int8_weights"] = int8_per_chip
+    if train_rate is not None:
+        out["train_samples_per_sec_per_chip"] = round(train_rate, 1)
     print(json.dumps(out))
 
 

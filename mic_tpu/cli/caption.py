@@ -1,6 +1,9 @@
 """Caption images from the command line (reference surface: inference.py,
 minus its bugs — the reference script references undefined names).
 
+Uses every visible device: params replicate onto a 1-D data mesh and the
+image batch (tail-padded to a device-count multiple) shards across it.
+
     python -m mic_tpu.cli.caption --model_dir runs/cc12m/model \
         --tokenizer path/to/tokenizer --lang en_XX --num_beams 4 img1.jpg ...
 """
@@ -18,6 +21,8 @@ from mic_tpu.data.images import load_image
 from mic_tpu.data.tokenizer import load_tokenizer
 from mic_tpu.models.captioner import Captioner
 from mic_tpu.ops.image_prep import preprocess_images
+from mic_tpu.parallel.mesh import make_mesh
+from mic_tpu.parallel.sharding import batch_sharding, shard_params
 
 
 def main(argv=None):
@@ -38,9 +43,16 @@ def main(argv=None):
     tokenizer = load_tokenizer(tok_path)
     start = tokenizer.lang_code_to_id[args.lang]
 
+    mesh = make_mesh(dp=-1, tp=1)
+    params = shard_params(params, mesh)
     raw = np.stack([load_image(p, 256) for p in args.images])
+    n_real = raw.shape[0]
+    pad = (-n_real) % mesh.size  # batch must split evenly over "data"
+    if pad:
+        raw = np.concatenate([raw, np.repeat(raw[:1], pad, axis=0)])
     pixels = preprocess_images(
-        jnp.asarray(raw), model.config.vision.image_size, model.dtype
+        jax.device_put(raw, batch_sharding(mesh)),
+        model.config.vision.image_size, model.dtype,
     )
     out = jax.jit(
         lambda p, x: model.generate(
@@ -48,7 +60,7 @@ def main(argv=None):
             decoder_start_token_id=start,
         )
     )(params, pixels)
-    for path, ids in zip(args.images, np.asarray(out.sequences)):
+    for path, ids in zip(args.images, np.asarray(out.sequences)[:n_real]):
         print(f"{path}\t{tokenizer.decode(ids)}")
 
 

@@ -1,6 +1,13 @@
 """Standalone BLEU evaluation of a saved model over a caption TSV
 (reference surface: evaluation.py — per-language beam-4 generate + BLEU-1..4).
 
+Uses EVERY visible device: params are replicated onto a 1-D data mesh and
+eval batches shard their leading dim across it, like the reference's pmapped
+per-language generate closures (/root/reference/evaluation.py:78-107) — but
+via jit + NamedSharding, so the same code runs unchanged on 1 chip or 8.
+Ragged tails are padded to the full static batch (one compile) and sliced
+back before scoring.
+
     python -m mic_tpu.cli.evaluate --model_dir runs/cc12m/model \
         --tsv_path data/val.tsv --images_dir images/ \
         --tokenizer path/to/tokenizer --batch_size 64 --num_beams 4
@@ -22,6 +29,8 @@ from mic_tpu.data.tokenizer import load_tokenizer
 from mic_tpu.evals.bleu import bleu_1_to_4
 from mic_tpu.models.captioner import Captioner
 from mic_tpu.ops.image_prep import maybe_preprocess
+from mic_tpu.parallel.mesh import make_mesh
+from mic_tpu.parallel.sharding import batch_sharding, shard_params
 
 
 def main(argv=None):
@@ -53,6 +62,13 @@ def main(argv=None):
     tokenizer = load_tokenizer(tok_path)
     dataset = CaptionDataset(args.tsv_path, args.images_dir)
 
+    # all visible devices on the data axis; params replicated (tp=1 means the
+    # model-axis rules degenerate to replication over a size-1 axis)
+    mesh = make_mesh(dp=-1, tp=1)
+    batch_size = -(-args.batch_size // mesh.size) * mesh.size  # ceil to mesh
+    params = shard_params(params, mesh)
+    bshard = batch_sharding(mesh)
+
     dec = model.config.decoder
 
     @jax.jit
@@ -75,18 +91,26 @@ def main(argv=None):
     results = {}
     for lang, sub in dataset.split_by_language().items():
         loader = CaptionLoader(
-            sub, tokenizer, args.batch_size, image_size=args.decode_size,
+            sub, tokenizer, batch_size, image_size=args.decode_size,
             max_length=args.max_length, shuffle=False, drop_last=False,
         )
         preds, refs = [], []
         start = tokenizer.lang_code_to_id[lang]
-        for batch in loader.epoch_iterator(epoch=0):
-            seqs = generate(
-                params, jnp.asarray(batch["pixel_values"]),
-                jnp.asarray(start, jnp.int32),
-            )
-            preds.extend(tokenizer.batch_decode(np.asarray(seqs)))
-            refs.extend(tokenizer.batch_decode(batch["labels"]))
+        try:
+            for batch in loader.epoch_iterator(epoch=0):
+                px = batch["pixel_values"]
+                n_real = px.shape[0]
+                pad = batch_size - n_real  # static shapes: one compile
+                if pad:
+                    px = np.concatenate([px, np.repeat(px[:1], pad, axis=0)])
+                seqs = generate(
+                    params, jax.device_put(px, bshard),
+                    jnp.asarray(start, jnp.int32),
+                )
+                preds.extend(tokenizer.batch_decode(np.asarray(seqs)[:n_real]))
+                refs.extend(tokenizer.batch_decode(batch["labels"]))
+        finally:
+            loader.close()
         results[lang] = bleu_1_to_4(preds, refs, lang[:2])
         print(lang, results[lang])
 

@@ -2,7 +2,8 @@
 
 Replaces the reference's `torch.utils.data.DataLoader(num_workers=64,
 collate_fn=...)` (main.py:493-571) — its documented throughput/RAM bottleneck
-(README.md:103) — with a fork-based worker pool that:
+(README.md:103) — with a spawn-based worker pool (spawn, not fork: the parent
+holds live JAX/TPU threads — see _get_pool) that:
 
 - materializes each batch fully inside a worker (image decode to fixed-size
   uint8 crops + per-example target tokenization), so the parent process only

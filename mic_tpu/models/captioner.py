@@ -378,7 +378,17 @@ class Captioner:
                 and fla in ("1", "2")
                 and gen.num_beams >= 2
                 and (dec.num_heads * dec.head_dim) % 128 == 0
-                and all((gen.num_beams * t) % 16 == 0 for t in seg_lens)
+                # mirror the per-kernel shape gates (supports / supports_dma)
+                # per segment length: the DMA kernel slices cache ROWS (t
+                # must be 8-aligned), the blocked kernel views (beams*t)
+                # sublanes (16-aligned) — choosing merged storage when the
+                # kernel will reject it would run the slow XLA fallback on
+                # the merged layout every step (tools/bench_cache_write.py)
+                and all(
+                    (t % 8 == 0) if fla == "2"
+                    else (gen.num_beams * t) % 16 == 0
+                    for t in seg_lens
+                )
                 and not mbart_decoder._attn_buckets(gen.max_length)
             )
         )

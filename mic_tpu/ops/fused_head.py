@@ -86,7 +86,15 @@ def _bucket_update(s, base, l_scr, rmax_scr, rid_scr):
 
 def _bucket_finish(k, lp_ref, idx_ref, lse_ref, l_scr, rmax_scr, rid_scr):
     lt = jnp.sum(l_scr[:], axis=-1, keepdims=True)           # (BN, 1)
-    lse = jnp.log(lt)                                        # exact row lse
+    # rmax holds the per-column running max, so its row max is the EXACT row
+    # max — use it to keep degenerate rows finite: a row whose exps all
+    # underflow (max < ~-87) or whose max exceeds _EXP_CLAMP degrades to
+    # lse ~= row max instead of -inf/NaN beam scores.  In the normal range
+    # lt >= exp(row max) so the guard is a no-op.
+    m = jnp.max(rmax_scr[:], axis=-1, keepdims=True)
+    lse = jnp.maximum(
+        jnp.log(jnp.maximum(lt, jnp.finfo(jnp.float32).tiny)), m
+    )
     mv, mi = _select_topk(rmax_scr[:], rid_scr[:], k)
     lp_ref[:] = mv - lse
     idx_ref[:] = mi
@@ -187,8 +195,13 @@ def _kernel_q8_bucket_acc(vocab, x_ref, w_ref, ws_ref, b_ref,
 def _bucket_finish_host(k, l, rmax, rid):
     """XLA-side finish for the acc kernels: exact row lse from the per-column
     fixed-offset sum-of-exps plane + top-k over the bucket winners —
-    identical math to the in-kernel _bucket_finish."""
-    lse = jnp.log(jnp.sum(l, axis=-1, keepdims=True))
+    identical math to the in-kernel _bucket_finish (incl. the degenerate-row
+    guard: lse >= exact row max, never -inf)."""
+    lt = jnp.sum(l, axis=-1, keepdims=True)
+    m = jnp.max(rmax, axis=-1, keepdims=True)
+    lse = jnp.maximum(
+        jnp.log(jnp.maximum(lt, jnp.finfo(jnp.float32).tiny)), m
+    )
     tv, pick = jax.lax.top_k(rmax, k)
     ids = jnp.take_along_axis(rid, pick, axis=-1)
     return tv - lse, ids, lse
@@ -262,12 +275,15 @@ def _tiles(n: int) -> tuple[int, int]:
     elif n <= 512:
         bn = n
         bv = 1024
-    elif n <= 1024:
-        bn = n
-        bv = 512
-    else:  # very large batches: accept re-streaming per 1024-row tile
-        bn = 1024
-        bv = 512
+    else:
+        # the exact/window kernels run their select passes IN-KERNEL each
+        # chunk; above 512 rows the select temporaries overflow Mosaic's
+        # scoped VMEM (17.1 MB measured at a 1024-row tile — the same limit
+        # that forced the bucket path onto the acc-output kernel).  Cap the
+        # row tile at 512 and accept one extra weight stream per tile; the
+        # default bucket path covers 1024 rows in one tile instead.
+        bn = 512
+        bv = 1024
     return bn, bv
 
 

@@ -195,8 +195,12 @@ def build_ancestry_mask(ancestry: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarra
 
 def supports(cache_k, beams: int, num_heads: int, head_dim: int) -> bool:
     """Shape guard: the kernel wants the merged lane dim (H*Dh) 128-aligned
-    and the (J*T) sublane dim 16-aligned (bf16 tiles)."""
+    and the (J*T) sublane dim 16-aligned (bf16 tiles).  int8 caches need
+    per-HEAD (B*K, T, H) scales — the blocked kernel reshapes them to
+    (B, J*T, H); per-ROW (B*K, T) scales are the DMA kernel's layout."""
     if beams < 2:
+        return False
+    if isinstance(cache_k, dict) and cache_k["s"].ndim != 3:
         return False
     kv = cache_k["q"] if isinstance(cache_k, dict) else cache_k
     t = kv.shape[1]

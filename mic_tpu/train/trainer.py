@@ -355,38 +355,44 @@ class Trainer:
             a, _, z = self.tc.profile_steps.partition(":")
             prof_range = (int(a), int(z or int(a) + 3))
 
-        while train_loader.epoch < self.tc.num_epochs:
-            for dev_batch, data_state in self._device_prefetch(train_loader):
-                if prof_range and step == prof_range[0]:
-                    jax.profiler.start_trace(
-                        os.path.join(self.tc.output_dir, "profile")
-                    )
-                state, metrics = self.p_train_step(state, dev_batch)
-                step += 1
-                timer.tick()
-                if prof_range and step == prof_range[1]:
-                    jax.block_until_ready(metrics["loss"])
-                    jax.profiler.stop_trace()
-                    prof_range = None
+        try:
+            while train_loader.epoch < self.tc.num_epochs:
+                for dev_batch, data_state in self._device_prefetch(train_loader):
+                    if prof_range and step == prof_range[0]:
+                        jax.profiler.start_trace(
+                            os.path.join(self.tc.output_dir, "profile")
+                        )
+                    state, metrics = self.p_train_step(state, dev_batch)
+                    step += 1
+                    timer.tick()
+                    if prof_range and step == prof_range[1]:
+                        jax.block_until_ready(metrics["loss"])
+                        jax.profiler.stop_trace()
+                        prof_range = None
 
-                if step % self.tc.logging_steps == 0:
-                    scalars = {k: float(v) for k, v in host_pytree(metrics).items()}
-                    scalars.update(timer.rates(self.global_batch))
-                    self.logger.log(step, scalars, prefix="train")
-                    timer.reset()
+                    if step % self.tc.logging_steps == 0:
+                        scalars = {k: float(v) for k, v in host_pytree(metrics).items()}
+                        scalars.update(timer.rates(self.global_batch))
+                        self.logger.log(step, scalars, prefix="train")
+                        timer.reset()
 
-                if eval_loaders and step % self.tc.eval_steps == 0:
-                    self.logger.log(step, self.evaluate(state.params, eval_loaders),
-                                    prefix="eval")
+                    if eval_loaders and step % self.tc.eval_steps == 0:
+                        self.logger.log(step, self.evaluate(state.params, eval_loaders),
+                                        prefix="eval")
 
-                if step % self.tc.save_steps == 0:
-                    self._save(step, state, data_state)
+                    if step % self.tc.save_steps == 0:
+                        self._save(step, state, data_state)
 
-        self._save(step, state, train_loader.state())
-        self.ckpt.wait()
-        if eval_loaders:
-            self.logger.log(step, self.evaluate(state.params, eval_loaders),
-                            prefix="eval")
+            self._save(step, state, train_loader.state())
+            self.ckpt.wait()
+            if eval_loaders:
+                self.logger.log(step, self.evaluate(state.params, eval_loaders),
+                                prefix="eval")
+        finally:
+            # spawn workers otherwise outlive training (and leak per test run)
+            train_loader.close()
+            for loader in eval_loaders.values():
+                loader.close()
         # export a servable model directory alongside the train checkpoints
         model_dir = os.path.join(self.tc.output_dir, "model")
         self.model.save_pretrained(model_dir, state.params)

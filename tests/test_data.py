@@ -6,6 +6,7 @@ import numpy as np
 from mic_tpu.data.dataset import CaptionDataset
 from mic_tpu.data.loader import CaptionLoader
 from mic_tpu.data.tokenizer import SimpleTokenizer
+import pytest
 
 
 def test_simple_tokenizer_format_and_roundtrip(tmp_path):
@@ -116,6 +117,7 @@ def test_loader_resume_mid_epoch(tmp_path):
         np.testing.assert_array_equal(x["labels"], y["labels"])
 
 
+@pytest.mark.slow
 def test_loader_multiprocess_matches_sync(tmp_path):
     tsv, img_dir = make_tsv(tmp_path)
     ds = CaptionDataset(tsv, img_dir)
@@ -154,6 +156,7 @@ def test_loader_bounded_prefetch_window(tmp_path):
         np.testing.assert_array_equal(x["pixel_values"], y["pixel_values"])
 
 
+@pytest.mark.slow
 def test_unfrozen_tokenizer_fit_frozen_before_workers(tmp_path):
     """Regression: an unfrozen SimpleTokenizer handed to a multiprocess
     loader must be deterministically fit+frozen up front. Without it, each

@@ -51,6 +51,7 @@ def run_interpret(q, ks, vs, ck, cv, l, t, chunk, block_b):
 
 
 @pytest.mark.parametrize("t", [0, 7, 15, 31])
+@pytest.mark.slow
 def test_kernel_matches_oracle(t):
     L, B, T, H, Dh = 3, 8, 32, 4, 16
     ks = jax.random.split(jax.random.PRNGKey(t), 5)

@@ -41,6 +41,7 @@ def test_loss_and_grads_match_unfused(smoothing, chunk):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_trainer_fused_matches_unfused_loss(tmp_path):
     """End-to-end: one train step with fused_ce on/off gives the same loss."""
     from tests.test_train import make_synthetic_dataset, tiny_configs

@@ -66,6 +66,7 @@ def test_matches_dense_oracle():
 
 @pytest.mark.parametrize("num_beams", [1, 4])
 @pytest.mark.parametrize("quantize", [None, "int8"])
+@pytest.mark.slow
 def test_captioner_fused_head_matches_dense(num_beams, quantize, monkeypatch):
     """Full generate with MIC_TPU_FUSED_HEAD=1 must match the dense-logits
     path, including the forced-BOS/EOS cond branches — in bf16 and in the
@@ -142,6 +143,7 @@ def test_bucket_single_chunk_is_exact():
 
 
 @pytest.mark.parametrize("num_beams", [1, 4])
+@pytest.mark.slow
 def test_captioner_fused_bucket_matches_dense_small_vocab(num_beams, monkeypatch):
     """With a vocab smaller than the bucket width, the fused BUCKET path must
     equal the dense exact path end-to-end (sequences and scores) — exercises

@@ -71,6 +71,7 @@ def brute_force_best(model, params, enc_row, start, eos, length_penalty):
 
 
 @pytest.mark.parametrize("length_penalty", [1.0, 0.6])
+@pytest.mark.slow
 def test_beam_matches_brute_force(setup, length_penalty):
     model, params, px = setup
     eos = model.config.decoder.eos_token_id
@@ -93,6 +94,7 @@ def test_beam_matches_brute_force(setup, length_penalty):
         assert got == seq, (got, seq)
 
 
+@pytest.mark.slow
 def test_forced_bos_and_eos(setup):
     model, params, px = setup
     out = model.generate(
@@ -107,6 +109,7 @@ def test_forced_bos_and_eos(setup):
         assert eos in row[1:]
 
 
+@pytest.mark.slow
 def test_greedy_score_is_sequence_log_prob(setup):
     model, params, px = setup
     out = model.generate(
@@ -137,6 +140,7 @@ def test_min_length_blocks_eos(setup):
     assert not np.any(seqs[:, 1:4] == eos)
 
 
+@pytest.mark.slow
 def test_sampling_topk1_equals_greedy(setup):
     model, params, px = setup
     greedy = model.generate(params, px, max_length=MAXLEN, num_beams=1)
@@ -149,6 +153,7 @@ def test_sampling_topk1_equals_greedy(setup):
     )
 
 
+@pytest.mark.slow
 def test_jit_generate_consistent(setup):
     model, params, px = setup
     eager = model.generate(params, px, max_length=MAXLEN, num_beams=4)
@@ -160,6 +165,7 @@ def test_jit_generate_consistent(setup):
     )
 
 
+@pytest.mark.slow
 def test_lazy_cache_matches_physical_permute(setup, monkeypatch):
     """The ancestry-masked lazy beam cache (nn/cache.py LazyDecoderCache)
     must produce bit-identical beam search results to the physically
@@ -182,6 +188,7 @@ def test_lazy_cache_matches_physical_permute(setup, monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_segmented_cache_matches_full(setup, monkeypatch):
     """Segmented cache growth (MIC_TPU_CACHE_SEGMENTS / search._run_segmented)
     must be bit-identical to the single full-size-cache loop: each phase
@@ -208,6 +215,7 @@ def test_segmented_cache_matches_full(setup, monkeypatch):
             )
 
 
+@pytest.mark.slow
 def test_segmented_cache_auto_and_quant(setup, monkeypatch):
     """'auto' segment resolution + int8 KV cache survive growth (the scale
     arrays must be padded alongside the int8 values)."""
@@ -221,6 +229,7 @@ def test_segmented_cache_auto_and_quant(setup, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_merged_kv_layout_matches_canonical(setup, monkeypatch):
     """The merged (B*K, T, H*Dh) self-KV storage (fused-kernel layout,
     nn/cache.py init_lazy_cache merged=True) must be bit-identical to the

@@ -3,6 +3,8 @@ trainer profiler hook."""
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,6 +76,7 @@ def test_loader_process_shard_slices():
         )
 
 
+@pytest.mark.slow
 def test_trainer_profile_steps_writes_trace(tmp_path):
     from tests.test_train import make_synthetic_dataset, tiny_configs
     from mic_tpu.train.trainer import Trainer

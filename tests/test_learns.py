@@ -50,6 +50,7 @@ def color_dataset(tmp_path):
     return tmp_path, str(img_dir)
 
 
+@pytest.mark.slow
 def test_captioner_learns_color_naming(color_dataset):
     from mic_tpu.train.trainer import Trainer
 

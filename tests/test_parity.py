@@ -63,6 +63,7 @@ def test_vision_parity_flax(hf_clip):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs), atol=ATOL)
 
 
+@pytest.mark.slow
 def test_vision_parity_torch():
     import torch
     from transformers import CLIPVisionModel
@@ -76,6 +77,7 @@ def test_vision_parity_torch():
     np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_decoder_lm_parity_flax(hf_mbart):
     """Our decoder+tied-lm-head vs HF decode() with injected encoder states."""
     shared, decoder, bias = hf_import.from_hf_mbart_flax(hf_mbart.params)
@@ -104,6 +106,7 @@ def test_decoder_lm_parity_flax(hf_mbart):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(out.logits), atol=ATOL)
 
 
+@pytest.mark.slow
 def test_fused_forward_parity(hf_clip, hf_mbart):
     """Full captioner forward == HF-composed oracle (clip -> proj -> decode)."""
     config = CaptionerConfig.tiny()
@@ -131,6 +134,7 @@ def test_fused_forward_parity(hf_clip, hf_mbart):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(out.logits), atol=ATOL)
 
 
+@pytest.mark.slow
 def test_cached_decode_matches_full_forward(hf_mbart):
     """Step-by-step cached decoding reproduces teacher-forced logits."""
     shared, decoder, bias = hf_import.from_hf_mbart_flax(hf_mbart.params)
@@ -160,6 +164,7 @@ def test_cached_decode_matches_full_forward(hf_mbart):
     np.testing.assert_allclose(np.asarray(stepped), np.asarray(full), atol=ATOL)
 
 
+@pytest.mark.slow
 def test_bf16_forward_runs():
     config = CaptionerConfig.tiny(dtype="bfloat16")
     model = Captioner(config)
@@ -174,6 +179,7 @@ def test_bf16_forward_runs():
     assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
 
 
+@pytest.mark.slow
 def test_attention_dropout_is_live():
     """config.attention_dropout must not be a silent no-op: with an rng it
     perturbs training logits stochastically (both towers), without an rng the

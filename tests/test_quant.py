@@ -7,6 +7,7 @@ import numpy as np
 from mic_tpu.core.config import CaptionerConfig
 from mic_tpu.models.captioner import Captioner
 from mic_tpu.ops.quant import quantize_array, quantize_params_for_decode
+import pytest
 
 
 def test_quantize_array_roundtrip_error():
@@ -62,6 +63,7 @@ def test_teacher_forced_logits_close_after_quant():
     assert float(jnp.max(jnp.abs(a - b))) < 0.15
 
 
+@pytest.mark.slow
 def test_kv_quant_int8_close_to_fp(monkeypatch):
     """int8 KV cache (LazyDecoderCache quant layout): beam outputs should
     match the fp cache on a model with clear logit margins (random tiny

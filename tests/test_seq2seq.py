@@ -52,6 +52,7 @@ def test_seq2seq_forward_parity(hf_model, ours):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_seq2seq_generate_smoke(ours):
     model, params = ours
     rng = np.random.default_rng(1)
@@ -70,6 +71,7 @@ def test_seq2seq_generate_smoke(ours):
     assert np.all(np.isfinite(np.asarray(greedy.scores)))
 
 
+@pytest.mark.slow
 def test_seq2seq_respects_source_padding(ours):
     """Padding the source must not change outputs vs the unpadded source."""
     model, params = ours

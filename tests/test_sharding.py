@@ -10,6 +10,7 @@ from mic_tpu.models.captioner import Captioner
 from mic_tpu.parallel.mesh import make_mesh
 from mic_tpu.parallel.sharding import batch_sharding, param_specs, shard_params
 from mic_tpu.train.loss import label_smoothed_cross_entropy
+import pytest
 
 
 def tp_friendly_config():
@@ -66,6 +67,7 @@ def _batch(config, n=8):
     }
 
 
+@pytest.mark.slow
 def test_dp_tp_loss_matches_single_device():
     """Same params+batch -> same loss and grads on dp=4 x tp=2 vs one device."""
     config = tp_friendly_config()

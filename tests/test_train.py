@@ -99,6 +99,7 @@ def tiny_configs(tmp_path, train_tsv, val_tsv, img_dir, **tc_kw):
     return model_config, data_config, TrainConfig(**base)
 
 
+@pytest.mark.slow
 def test_train_loop_and_resume(tmp_path):
     from mic_tpu.train.trainer import Trainer
 
@@ -128,6 +129,7 @@ def test_train_loop_and_resume(tmp_path):
     trainer2.ckpt.close()
 
 
+@pytest.mark.slow
 def test_resume_from_other_directory(tmp_path):
     """--resume_from must restore from an ARBITRARY run's checkpoints (the
     reference's restore_model_checkpoint, main.py:332-346, was dead code):
@@ -170,6 +172,7 @@ def test_resume_from_other_directory(tmp_path):
     trainer_c.ckpt.close()
 
 
+@pytest.mark.slow
 def test_checkpoint_data_position_not_skewed_by_prefetch(tmp_path):
     """The device-prefetch loop pulls batch N+1 before step N checkpoints; a
     mid-epoch save must still record the position of the batch actually
@@ -195,6 +198,7 @@ def test_checkpoint_data_position_not_skewed_by_prefetch(tmp_path):
     assert meta3["epoch"] + (meta3["next_batch"] == 0) >= 1, meta3
 
 
+@pytest.mark.slow
 def test_eval_covers_ragged_tail(tmp_path):
     """Per-language eval splits smaller than (or not divisible by) the data
     axis must still be evaluated — padded and masked, never skipped. With 2
@@ -228,6 +232,7 @@ def test_eval_covers_ragged_tail(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_loss_decreases_overfit(tmp_path):
     """2+ train steps on one repeated batch must reduce the loss."""
     from mic_tpu.train.trainer import Trainer
@@ -251,6 +256,7 @@ def test_loss_decreases_overfit(tmp_path):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat(tmp_path):
     """remat='full' must change memory, not math: identical first-step loss."""
     from mic_tpu.train.trainer import Trainer

@@ -102,6 +102,7 @@ def test_vit_bart_fused_parity(hf_vit, hf_bart):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(out.logits), atol=ATOL)
 
 
+@pytest.mark.slow
 def test_vit_bart_generate_cache_consistency(hf_vit, hf_bart):
     """Post-norm decoder: cached decode == teacher-forced forward."""
     config = our_tiny_config()
