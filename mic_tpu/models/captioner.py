@@ -50,7 +50,14 @@ def _resolve_cache_segments(max_length: int) -> tuple:
     if not raw or raw in ("0", "off"):
         return ()
     if raw == "auto":
-        segs = [max_length * i // 4 for i in (1, 2, 3, 4)]
+        # intermediate segments round UP to multiples of 8: the v2 DMA
+        # decode-attention kernel (the max_length>64 default) slices cache
+        # rows in 8-aligned chunks (lazy_attention.supports_dma), and a
+        # slightly longer early segment costs far less than losing the
+        # kernel for the whole run
+        segs = [
+            ((max_length * i // 4 + 7) // 8) * 8 for i in (1, 2, 3)
+        ] + [max_length]
     else:
         segs = [int(s) for s in raw.split(",") if s.strip()]
     out: list = []
@@ -337,6 +344,17 @@ class Captioner:
                 if jnp.issubdtype(x.dtype, jnp.floating) else x,
                 params,
             )
+        # Beam decode uses the lazy cache (gated below); its step fn consumes
+        # a fused (D, 3D) self-attention QKV projection — one GEMM per layer
+        # per step instead of three, bit-identical columns (fuse_qkv_params).
+        # Built BEFORE int8 quantization so the fused kernel is quantized
+        # per-channel like any other dense.
+        if gen.num_beams > 1 and (
+            os.environ.get("MIC_TPU_LAZY_CACHE", "1") == "1"
+        ) and os.environ.get("MIC_TPU_FUSED_QKV", "1") == "1":
+            params = dict(params)
+            params["decoder"] = mbart_decoder.fuse_qkv_params(params["decoder"])
+
         if quantize == "int8":
             # int8 weight-only decode: halves weight streaming again vs bf16
             # (every decode step re-reads all decoder + LM-head weights).
@@ -369,7 +387,12 @@ class Captioner:
         # Must mirror _decoder_step_lazy's fused-kernel gate exactly; env
         # MIC_TPU_MERGED_KV=1 forces it (CPU equivalence tests).
         seg_lens = cache_segments if cache_segments else (gen.max_length,)
-        fla = os.environ.get("MIC_TPU_FUSED_LAZY_ATTN", "0")
+        # kernel mode is resolved ONCE from the full max_length (auto: the v2
+        # DMA kernel beyond max_length 64 — see lazy_attention.resolve_mode)
+        # and implied to the per-segment decode steps via the cache layout
+        from mic_tpu.ops import lazy_attention
+
+        fla = lazy_attention.resolve_mode(gen.max_length)
         merged = lazy and (
             os.environ.get("MIC_TPU_MERGED_KV") == "1"
             or (

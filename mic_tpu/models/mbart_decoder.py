@@ -68,6 +68,40 @@ def _attn_buckets(max_len: int) -> tuple:
     return tuple(int(s) for s in spec.split(","))
 
 
+def fuse_qkv_params(decoder_params: Params) -> Params:
+    """Decode-only param view: each layer's self-attention q/k/v denses are
+    concatenated into ONE (L, D, 3D) "qkv" dense (plus fused bias).
+
+    The decode step runs 36 separate (rows, D) x (D, D) projection GEMMs per
+    step (3 per layer); each is far below the MXU pipeline's sweet spot and
+    pays its own dispatch.  One (D, 3D) GEMM per layer computes the same
+    columns bit-identically (every output column contracts the same kernel
+    column in the same order) with a third of the op launches.  Built once
+    per generate, outside the decode loop; the cross-attention q and the
+    o-projections are untouched (cross k/v are projected once at cache
+    init).  Consumed by mha_decode_step_lazy when "qkv" is present."""
+    layers = decoder_params["layers"]
+    sa = layers["self_attn"]
+    qkv = {
+        "kernel": jnp.concatenate(
+            [sa["q"]["kernel"], sa["k"]["kernel"], sa["v"]["kernel"]], axis=-1
+        )
+    }
+    if "bias" in sa["q"]:
+        qkv["bias"] = jnp.concatenate(
+            [sa["q"]["bias"], sa["k"]["bias"], sa["v"]["bias"]], axis=-1
+        )
+    new_sa = dict(sa)
+    for name in ("q", "k", "v"):
+        new_sa.pop(name)
+    new_sa["qkv"] = qkv
+    new_layers = dict(layers)
+    new_layers["self_attn"] = new_sa
+    out = dict(decoder_params)
+    out["layers"] = new_layers
+    return out
+
+
 class DecoderTowerOutput(NamedTuple):
     """Structured decoder output (reference surface: output_hidden_states /
     output_attentions of FlaxMBartDecoder through
@@ -354,28 +388,42 @@ def _decoder_step_lazy(
     post = cfg.post_norm
     buckets = _attn_buckets(cache.max_len)
 
-    # Fused Pallas decode attention (ops/lazy_attention.py): OPT-IN via
-    # MIC_TPU_FUSED_LAZY_ATTN=1 (blocked kernel) or =2 (DMA pass-through
-    # kernel).  The blocked kernel itself wins (2.66 vs 3.12 ms/step of
-    # score-chain at the flagship shape) but XLA copies any while-carried
-    # cache that is both read by a custom call and column-written in the
-    # same iteration (+1.37 ms/step) — net regression.  The =2 variant
-    # passes the caches THROUGH the kernel (aliased ANY operands, manual
-    # DMA) so the write aliases in place; it is the int8-KV vehicle.  The
-    # XLA path stays the default until a variant wins end-to-end (see
-    # PERFORMANCE.md "measured dead ends").  The ancestry+liveness mask is
+    # Fused Pallas decode attention (ops/lazy_attention.py), selected by
+    # lazy_attention.resolve_mode: the v2 DMA pass-through kernel is the
+    # DEFAULT for max_length > 64 (the XLA score chain degrades
+    # super-linearly with cache length: 30.0 vs 110.3 captions/s/chip at
+    # batch 256 / max_length 128 — PERFORMANCE.md); the XLA chain remains
+    # the default at <= 64 (237.8 vs 229.8).  MIC_TPU_FUSED_LAZY_ATTN
+    # overrides: =1 blocked kernel (faster standalone but XLA copies any
+    # while-carried cache both read by a custom call and column-written in
+    # the same iteration, +1.37 ms/step), =2 DMA kernel (caches flow
+    # THROUGH as aliased ANY operands so the write aliases in place; also
+    # the int8-KV vehicle), =0 XLA chain.  The ancestry+liveness mask is
     # layer-invariant: built ONCE per step and shared by all layers.
     amask = None
-    fla = os.environ.get("MIC_TPU_FUSED_LAZY_ATTN", "0")
+    dma = False
+    fla = os.environ.get("MIC_TPU_FUSED_LAZY_ATTN")
+    if fla is None:
+        # the captioner encodes its lazy_attention.resolve_mode choice in the
+        # cache layout: merged (B*K, T, H*Dh) storage exists only for the
+        # fused kernels, and the auto path only ever selects the DMA variant
+        sk0 = cache.self_k[0]
+        merged_store = (
+            sk0["q"] if isinstance(sk0, dict) else sk0
+        ).ndim == 3
+        fla = "2" if merged_store else "0"
     if fla in ("1", "2") and jax.default_backend() == "tpu" and not buckets:
         from mic_tpu.ops import lazy_attention
 
+        dma = fla == "2"
         ok = (
-            lazy_attention.supports_dma if fla == "2"
+            lazy_attention.supports_dma if dma
             else lazy_attention.supports
         )(cache.self_k[0], beams, cfg.num_heads, cfg.head_dim)
         if ok:
             amask = lazy_attention.build_ancestry_mask(cache.ancestry, index)
+        else:
+            dma = False
 
     x = embed_tokens(shared, token_ids, cfg, dtype)
     pos = jnp.full(token_ids.shape, index, token_ids.dtype)
@@ -401,7 +449,7 @@ def _decoder_step_lazy(
         x, sk, sv = mha_decode_step_lazy(
             p["self_attn"], x, cache.self_k[l], cache.self_v[l],
             cache.ancestry, index, cfg.num_heads, beams, buckets=buckets,
-            amask=amask,
+            amask=amask, dma=dma,
         )
         new_k.append(sk)
         new_v.append(sv)

@@ -156,6 +156,7 @@ def mha_decode_step_lazy(
     beams: int,
     buckets: tuple = (),     # static read-prefix lengths; () = full window
     amask: Optional[jnp.ndarray] = None,  # (B, K*T, K) int8: use fused kernel
+    dma: bool = False,       # with amask: v2 DMA pass-through kernel
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Cached beam self-attention without physical cache reordering.
 
@@ -174,9 +175,18 @@ def mha_decode_step_lazy(
     bk, one, d = x.shape
     head_dim = d // num_heads
     b = bk // beams
-    q = dense(params["q"], x) * (head_dim**-0.5)
+    if "qkv" in params:
+        # fused projection (models/mbart_decoder.py fuse_qkv_params): ONE
+        # (rows, D) x (D, 3D) GEMM instead of three — bit-identical columns
+        qkv = dense(params["qkv"], x)                           # (BK, 1, 3D)
+        q, k_flat, v_flat = jnp.split(qkv, 3, axis=-1)
+        q = q * (head_dim**-0.5)
+        k_step = split_heads(k_flat, num_heads)                 # (BK, 1, H, Dh)
+        v_step = split_heads(v_flat, num_heads)
+    else:
+        q = dense(params["q"], x) * (head_dim**-0.5)
+        k_step, v_step = project_kv(params, x, num_heads)       # (BK, 1, H, Dh)
     q = q.reshape(b, beams * one, num_heads, head_dim)          # (B, K, H, Dh)
-    k_step, v_step = project_kv(params, x, num_heads)           # (BK, 1, H, Dh)
     quant = isinstance(cache_k, dict)
 
     if amask is not None:
@@ -196,7 +206,6 @@ def mha_decode_step_lazy(
         # liveness (layer-invariant, built once in _decoder_step_lazy).
         from mic_tpu.ops import lazy_attention as la
 
-        dma = os.environ.get("MIC_TPU_FUSED_LAZY_ATTN") == "2"
         if dma:
             out, cache_k, cache_v = la.fused_lazy_attention_dma(
                 q.reshape(b, beams, d), cache_k, cache_v,

@@ -403,14 +403,20 @@ def _bucket_tiles(n: int) -> tuple[int, int]:
     innermost, so every extra ROW tile streams the whole head weight again
     — cover up to 1024 rows (the flagship batch-256 x beam-4 shape) in ONE
     tile, shrinking BV to keep scratch + x + weight double-buffer inside
-    the ~16 MB VMEM: bn=1024, bv=256 is 4 MB scratch + 2 MB x + 1 MB w."""
+    the ~16 MB VMEM: bn=1024, bv=256 is 4 MB scratch + 2 MB x + 1 MB w.
+    MIC_TPU_BUCKET_BV overrides the vocab-chunk width (perf experiments)."""
+    import os
+
+    override = os.environ.get("MIC_TPU_BUCKET_BV")
     if n <= 512:
-        return n, 512
+        return n, int(override or 512)
     # 1024-row tile: runs the accumulator-output kernel (XLA finish) —
     # Mosaic's scoped-vmem accounting charges the in-kernel finish's
     # select-pass temporaries against the kernel stack and OOMs; without
-    # the finish, bv=256 fits.  256 buckets/row still >> k=9.
-    return min(n, 1024), 256
+    # the finish, bv=512 fits (3 acc planes 6 MB + x 2 MB + w double-buffer
+    # 2 MB) and measured 3% faster than bv=256 (3.96 vs 4.09 ms standalone,
+    # tools/bench_head.py --n 1024): half the grid's per-chunk overheads.
+    return min(n, 1024), int(override or 512)
 
 
 def _bucket_topk_dense(logits, k, bv):

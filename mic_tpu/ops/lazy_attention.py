@@ -50,6 +50,7 @@ interpret mode against it (tests/test_lazy_attention.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -191,6 +192,24 @@ def build_ancestry_mask(ancestry: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarra
     sel = ancestry[:, None, :, :] == j[None, :, None, None]   # (B, J, K, T)
     sel = sel & live[None, None, None, :]
     return sel.transpose(0, 1, 3, 2).reshape(b, k * t, k).astype(jnp.int8)
+
+
+def resolve_mode(max_length: int) -> str:
+    """MIC_TPU_FUSED_LAZY_ATTN: "0" (XLA chain), "1" (blocked kernel),
+    "2" (DMA pass-through kernel) — or unset = auto.
+
+    Auto picks the v2 DMA kernel for max_length > 64 on TPU: the XLA
+    score/softmax chain degrades super-linearly with cache length (measured
+    30.0 captions/s/chip at batch 256 / max_length 128 vs 110.3 for the v2
+    kernel with int8-KV — PERFORMANCE.md), while at max_length 64 the XLA
+    chain still wins (237.8 vs 229.8).  The reference names max_length 128
+    as its intended scale-up (README.md:112)."""
+    raw = os.environ.get("MIC_TPU_FUSED_LAZY_ATTN")
+    if raw is not None:
+        return raw
+    if jax.default_backend() != "tpu":
+        return "0"
+    return "2" if max_length > 64 else "0"
 
 
 def supports(cache_k, beams: int, num_heads: int, head_dim: int) -> bool:

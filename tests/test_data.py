@@ -134,6 +134,7 @@ def test_loader_multiprocess_matches_sync(tmp_path):
         np.testing.assert_array_equal(x["pixel_values"], y["pixel_values"])
 
 
+@pytest.mark.slow
 def test_loader_bounded_prefetch_window(tmp_path):
     """The pool path keeps at most num_workers+prefetch batches in flight and
     still yields every batch in order; resume position stays exact."""

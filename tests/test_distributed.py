@@ -20,6 +20,7 @@ from mic_tpu.data.loader import CaptionLoader
 from mic_tpu.data.tokenizer import SimpleTokenizer
 
 from test_data import make_tsv
+import pytest
 
 
 def test_process_shards_reassemble_global_batch(tmp_path):
@@ -73,6 +74,7 @@ _CHILD = textwrap.dedent("""
 """)
 
 
+@pytest.mark.slow
 def test_two_process_cpu_distributed(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

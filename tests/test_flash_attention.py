@@ -52,6 +52,7 @@ def test_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_model_with_pallas_attention():
     """End-to-end tiny captioner forward with attn_impl='pallas'."""
     from mic_tpu.core.config import CaptionerConfig
@@ -69,6 +70,7 @@ def test_model_with_pallas_attention():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_fully_masked_rows_get_zero_gradients():
     """A fully-padded query row outputs exact zeros in the forward; the
     recompute backward must likewise emit zero dq for it and leak nothing

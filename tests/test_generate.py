@@ -129,6 +129,7 @@ def test_greedy_score_is_sequence_log_prob(setup):
         np.testing.assert_allclose(float(out.scores[b]), score, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_min_length_blocks_eos(setup):
     model, params, px = setup
     eos = model.config.decoder.eos_token_id
@@ -255,6 +256,7 @@ def test_merged_kv_layout_matches_canonical(setup, monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_bucketed_attention_reads_match_full_window(setup, monkeypatch):
     """Prefix-bucketed cache reads (MIC_TPU_ATTN_BUCKETS) must be
     bit-identical to full-window reads: masked tail positions contribute

@@ -13,6 +13,7 @@ from mic_tpu.core.config import CaptionerConfig
 from mic_tpu.models.captioner import Captioner
 
 
+@pytest.mark.slow
 def test_greedy_early_exit_pads_after_eos():
     """Force EOS at position 1: every row finishes immediately and the rest
     of the buffer stays PAD (the while_loop exits after 2 iterations)."""
@@ -30,6 +31,7 @@ def test_greedy_early_exit_pads_after_eos():
     assert np.all(seqs[:, 2:] == config.decoder.pad_token_id)
 
 
+@pytest.mark.slow
 def test_beam_early_stopping_flag_runs():
     config = CaptionerConfig.tiny()
     model = Captioner(config)

@@ -8,6 +8,7 @@ import numpy as np
 
 from mic_tpu.core.config import CaptionerConfig
 from mic_tpu.models.captioner import Captioner, CaptionerOutput, EncodeOutput
+import pytest
 
 
 def _setup():
@@ -20,6 +21,7 @@ def _setup():
     return config, model, params, px, ids, mask
 
 
+@pytest.mark.slow
 def test_call_introspection_shapes_and_logit_parity():
     config, model, params, px, ids, mask = _setup()
     v, d = config.vision, config.decoder

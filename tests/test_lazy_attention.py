@@ -242,3 +242,68 @@ def test_supports_dma_guard():
     q8_perhead = {"q": jnp.zeros((8, 16, 1024), jnp.int8),
                   "s": jnp.zeros((8, 16, 16), jnp.float32)}
     assert not supports_dma(q8_perhead, 4, 16, 64)  # needs per-ROW scales
+
+
+def test_supports_rejects_per_row_scales():
+    """The blocked kernel reshapes scales to (B, J*T, H): per-ROW (B*K, T)
+    scales (the DMA kernel's layout) must fail the guard, not trace-error."""
+    from mic_tpu.ops.lazy_attention import supports
+
+    q8_perhead = {"q": jnp.zeros((8, 16, 16, 64), jnp.int8),
+                  "s": jnp.zeros((8, 16, 16), jnp.float32)}
+    assert supports(q8_perhead, 4, 16, 64)
+    q8_perrow = {"q": jnp.zeros((8, 16, 1024), jnp.int8),
+                 "s": jnp.zeros((8, 16), jnp.float32)}
+    assert not supports(q8_perrow, 4, 16, 64)
+
+
+def test_resolve_mode(monkeypatch):
+    """Auto mode: XLA chain off-TPU always; env var overrides verbatim."""
+    from mic_tpu.ops.lazy_attention import resolve_mode
+
+    monkeypatch.delenv("MIC_TPU_FUSED_LAZY_ATTN", raising=False)
+    assert resolve_mode(64) == "0"    # CPU backend in tests
+    assert resolve_mode(128) == "0"   # the kernel is TPU-only
+    monkeypatch.setenv("MIC_TPU_FUSED_LAZY_ATTN", "2")
+    assert resolve_mode(64) == "2"
+    monkeypatch.setenv("MIC_TPU_FUSED_LAZY_ATTN", "0")
+    assert resolve_mode(128) == "0"
+
+
+def test_fused_qkv_projection_bit_identical():
+    """fuse_qkv_params (models/mbart_decoder.py): the concatenated (D, 3D)
+    self-attention projection must be BIT-identical to three separate GEMMs
+    (each output column contracts the same kernel column in the same order)."""
+    from mic_tpu.core.config import CaptionerConfig
+    from mic_tpu.models.captioner import Captioner
+    from mic_tpu.models.mbart_decoder import fuse_qkv_params
+    from mic_tpu.nn.attention import mha_decode_step_lazy
+
+    model = Captioner(CaptionerConfig.tiny())
+    params = model.init_params(jax.random.PRNGKey(0))
+    dec = params["decoder"]
+    cfg = model.config.decoder
+    fused = fuse_qkv_params(dec)
+    L, D = cfg.num_layers, cfg.d_model
+    sa = fused["layers"]["self_attn"]
+    assert sa["qkv"]["kernel"].shape == (L, D, 3 * D)
+    assert sa["qkv"]["bias"].shape == (L, 3 * D)
+    assert "q" not in sa and "k" not in sa and "v" not in sa
+    assert "q" in dec["layers"]["self_attn"]  # original untouched
+
+    B, K, T, H = 2, 2, 8, cfg.num_heads
+    Dh = cfg.head_dim
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B * K, 1, D)).astype(np.float32))
+    ck = jnp.asarray(rng.normal(size=(B * K, T, H, Dh)).astype(np.float32))
+    cv = jnp.asarray(rng.normal(size=(B * K, T, H, Dh)).astype(np.float32))
+    anc = jnp.zeros((B, K, T), jnp.int32)
+    idx = jnp.asarray(3, jnp.int32)
+
+    p_plain = jax.tree.map(lambda a: a[0], dec["layers"])["self_attn"]
+    p_fused = jax.tree.map(lambda a: a[0], fused["layers"])["self_attn"]
+    o1, k1, v1 = mha_decode_step_lazy(p_plain, x, ck, cv, anc, idx, H, K)
+    o2, k2, v2 = mha_decode_step_lazy(p_fused, x, ck, cv, anc, idx, H, K)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))

@@ -34,6 +34,7 @@ def test_quantize_tree_shape_and_scope():
     assert "scale" in qp["decoder"]["ln_embed"]
 
 
+@pytest.mark.slow
 def test_generate_int8_close_to_fp():
     model = Captioner(CaptionerConfig.tiny())
     params = model.init_params(jax.random.PRNGKey(1))
@@ -50,6 +51,7 @@ def test_generate_int8_close_to_fp():
     )
 
 
+@pytest.mark.slow
 def test_teacher_forced_logits_close_after_quant():
     model = Captioner(CaptionerConfig.tiny())
     params = model.init_params(jax.random.PRNGKey(2))

@@ -33,6 +33,7 @@ def ours(hf_model):
     return model, params
 
 
+@pytest.mark.slow
 def test_seq2seq_forward_parity(hf_model, ours):
     model, params = ours
     rng = np.random.default_rng(0)

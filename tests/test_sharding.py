@@ -94,6 +94,7 @@ def test_dp_tp_loss_matches_single_device():
     assert emb_shards.spec == P("model", None)
 
 
+@pytest.mark.slow
 def test_generate_under_mesh():
     """Beam search works with params sharded over the 2-D mesh."""
     config = tp_friendly_config()

@@ -70,6 +70,7 @@ def test_vit_tower_parity(hf_vit):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs), atol=ATOL)
 
 
+@pytest.mark.slow
 def test_vit_bart_fused_parity(hf_vit, hf_bart):
     config = our_tiny_config()
     model = Captioner(config)

@@ -69,9 +69,13 @@ def main() -> None:
         pixels = maybe_preprocess(
             images_u8, model.config.vision.image_size, model.dtype
         )
+        # training-consistent 'pad' start convention (cli/evaluate.py default):
+        # PAD start + language forced at position 1 — what the model saw
         return model.generate(
             params, pixels, max_length=args.max_length,
-            num_beams=args.num_beams, forced_bos_token_id=start,
+            num_beams=args.num_beams,
+            decoder_start_token_id=model.config.decoder.pad_token_id,
+            forced_bos_token_id=start,
             early_stopping=True, quantize=args.quant,
         ).sequences
 

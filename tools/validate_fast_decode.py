@@ -30,6 +30,11 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument(
+        "--export", action="store_true",
+        help="save the converged model + tokenizer to <out>/model "
+             "(tools/bench_trained.py input)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -144,6 +149,12 @@ def main() -> None:
         for p_, r_ in zip(pred, ref):
             print(f"  {lang} pred={p_!r} ref={r_!r}", flush=True)
     trainer.ckpt.close()
+
+    if args.export:
+        model_dir = os.path.join(args.out, "model")
+        trainer.model.save_pretrained(model_dir, state.params)
+        trainer.tokenizer.save(os.path.join(model_dir, "tokenizer.json"))
+        print(f"exported model to {model_dir}", flush=True)
 
     bleu1 = {
         name: [v for k, v in r.items() if k.endswith("bleu-1")]
