@@ -372,13 +372,41 @@ class Captioner:
         lazy = gen.num_beams > 1 and (
             os.environ.get("MIC_TPU_LAZY_CACHE", "1") == "1"
         )
+        on_tpu = jax.default_backend() == "tpu"
+        # kernel mode is resolved ONCE from the full max_length (see
+        # lazy_attention.resolve_mode) and implied to the decode steps via
+        # the cache layout
+        from mic_tpu.ops import lazy_attention
+
+        fla = lazy_attention.resolve_mode(gen.max_length)
+        # Will the v3 DMA kernel actually drive this generate?  (Static
+        # mirror of _decoder_step_lazy's gate + supports_dma.)  If so, cache
+        # segmentation is pure overhead: the kernel already streams only the
+        # live prefix every step (chunked DMA bounded by the write index),
+        # so phases would add grow copies and per-phase recompiles for no
+        # stream saving.
+        dma_path = (
+            lazy
+            and on_tpu
+            and fla == "2"
+            and gen.num_beams >= 2
+            and (dec.num_heads * dec.head_dim) % 128 == 0
+            # the in-kernel aligned-window column write needs T 8-aligned
+            # (bf16) / 32-aligned (int8) — mirror supports_dma
+            and gen.max_length % (32 if kv_quant == "int8" else 8) == 0
+            and not mbart_decoder._attn_buckets(gen.max_length)
+        )
         # Segmented cache growth: run the decode loop in phases over growing
         # static cache sizes so early steps stream a prefix-sized K/V cache
         # (~38% less self-attn cache read traffic at max_length 64 with 4
-        # linear segments) — see search._run_segmented.
-        cache_segments = _resolve_cache_segments(gen.max_length)
+        # linear segments) — see search._run_segmented.  XLA-chain path only
+        # (the DMA kernel prefix-bounds its own stream, above).
+        cache_segments = (
+            ()  # explicit MIC_TPU_CACHE_SEGMENTS still honored (experiments)
+            if dma_path and os.environ.get("MIC_TPU_CACHE_SEGMENTS") is None
+            else _resolve_cache_segments(gen.max_length)
+        )
         first_len = cache_segments[0] if cache_segments else gen.max_length
-        on_tpu = jax.default_backend() == "tpu"
         # Merged (B*K, T, H*Dh) self-KV layout for the fused Pallas lazy
         # decode attention (ops/lazy_attention.py): XLA lane-pads the
         # canonical (..., H=16, Dh=64) trailing dims to (16, 128) — 2x the
@@ -387,12 +415,6 @@ class Captioner:
         # Must mirror _decoder_step_lazy's fused-kernel gate exactly; env
         # MIC_TPU_MERGED_KV=1 forces it (CPU equivalence tests).
         seg_lens = cache_segments if cache_segments else (gen.max_length,)
-        # kernel mode is resolved ONCE from the full max_length (auto: the v2
-        # DMA kernel beyond max_length 64 — see lazy_attention.resolve_mode)
-        # and implied to the per-segment decode steps via the cache layout
-        from mic_tpu.ops import lazy_attention
-
-        fla = lazy_attention.resolve_mode(gen.max_length)
         merged = lazy and (
             os.environ.get("MIC_TPU_MERGED_KV") == "1"
             or (
@@ -408,7 +430,8 @@ class Captioner:
                 # kernel will reject it would run the slow XLA fallback on
                 # the merged layout every step (tools/bench_cache_write.py)
                 and all(
-                    (t % 8 == 0) if fla == "2"
+                    (t % (32 if kv_quant == "int8" else 8) == 0)
+                    if fla == "2"
                     else (gen.num_beams * t) % 16 == 0
                     for t in seg_lens
                 )

@@ -207,10 +207,19 @@ def mha_decode_step_lazy(
         from mic_tpu.ops import lazy_attention as la
 
         if dma:
+            # v3 kernel: the cache column write happens IN-KERNEL (aliased
+            # pass-through planes + one small strided DMA per plane) — the
+            # returned caches are already post-update, so no
+            # dynamic_update_slice may run here (it was profiled as a full
+            # cache read-modify-write, ~3 ms/step at B=256)
             out, cache_k, cache_v = la.fused_lazy_attention_dma(
                 q.reshape(b, beams, d), cache_k, cache_v,
                 k_step.reshape(b, beams, d), v_step.reshape(b, beams, d),
-                amask, beams, num_heads,
+                amask, index, beams, num_heads,
+            )
+            return (
+                dense(params["o"], out.reshape(bk, one, d)),
+                cache_k, cache_v,
             )
         else:
             out = la.fused_lazy_attention(

@@ -198,18 +198,20 @@ def resolve_mode(max_length: int) -> str:
     """MIC_TPU_FUSED_LAZY_ATTN: "0" (XLA chain), "1" (blocked kernel),
     "2" (DMA pass-through kernel) — or unset = auto.
 
-    Auto picks the v2 DMA kernel for max_length > 64 on TPU: the XLA
-    score/softmax chain degrades super-linearly with cache length (measured
-    30.0 captions/s/chip at batch 256 / max_length 128 vs 110.3 for the v2
-    kernel with int8-KV — PERFORMANCE.md), while at max_length 64 the XLA
-    chain still wins (237.8 vs 229.8).  The reference names max_length 128
-    as its intended scale-up (README.md:112)."""
+    Auto picks the v3 DMA kernel on TPU at every max_length: with the
+    in-kernel column write (no XLA cache RMW) and live-prefix chunked
+    streaming it measures 265.4 vs 240.1 captions/s/chip at the flagship
+    B=256 / beam-4 / max_length-64 shape, and the XLA score/softmax chain
+    degrades super-linearly with cache length (30.0 at max_length 128 —
+    PERFORMANCE.md; the reference names 128 as its intended scale-up,
+    README.md:112).  Exact math — bit-identical attention output to the
+    blocked kernel, same softmax as the XLA chain."""
     raw = os.environ.get("MIC_TPU_FUSED_LAZY_ATTN")
     if raw is not None:
         return raw
     if jax.default_backend() != "tpu":
         return "0"
-    return "2" if max_length > 64 else "0"
+    return "2"
 
 
 def supports(cache_k, beams: int, num_heads: int, head_dim: int) -> bool:
@@ -303,18 +305,26 @@ def fused_lazy_attention(
 
 
 # ---------------------------------------------------------------------------
-# v2: manual-DMA pass-through kernel.
+# v3: manual-DMA pass-through kernel with live-prefix streaming and the
+# cache column write performed IN-KERNEL.
 #
 # The blocked kernel above loses end-to-end because XLA's copy-insertion
 # materializes any while-carried cache that is both read by a custom call
 # and column-written in the same loop iteration (+1.37 ms/step profiled;
 # neither update order nor optimization_barrier avoids it — see
 # PERFORMANCE.md).  Here the cache is instead passed THROUGH the kernel:
-# ANY-memory-space operands aliased to ANY outputs that the kernel never
-# writes, with the compute tiles streamed by explicit DMA.  The downstream
-# column write then consumes the kernel's OUTPUT — one linear ownership
-# chain, which XLA updates in place (verified: a 12-cache repro runs the
-# write at the no-copy cost).
+# ANY-memory-space operands aliased to ANY outputs.  v2 left the column
+# write to a downstream dynamic_update_slice — profiled at a FULL
+# read-modify-write of every cache plane (~3.0 ms/step at B=256: XLA never
+# aliased the write after all).  v3 therefore writes the current step's K/V
+# column itself (one tiny strided VMEM->HBM DMA per plane per grid cell),
+# so the caches are updated truly in place and no XLA write exists at all.
+#
+# v3 also streams only the LIVE cache prefix: the write index arrives as an
+# SMEM scalar and the K/V reads issue per-chunk DMAs (TC positions each),
+# skipping chunks entirely beyond ceil(index/TC).  That makes segmented
+# cache growth unnecessary on this path — the stream is prefix-bounded
+# every step without grow copies or per-phase recompiles.
 #
 # Because the kernel owns its DMA, the int8-KV cache becomes profitable for
 # the first time: the bytes halve and the int8->bf16 convert happens on the
@@ -332,51 +342,129 @@ def _dma_group(batch: int, per_image_bytes: int) -> int:
     return 1
 
 
-def _kernel_dma_bf16(G, beams, heads, head_dim,
-                     ck_hbm, cv_hbm, q_ref, kst_ref, vst_ref, am_ref,
-                     cko, cvo, o_ref, kbuf, vbuf, ksem, vsem):
-    del cko, cvo  # pass-through aliases: never read, never written
+def _dma_chunk(t: int, quant: bool) -> int:
+    """Positions per read-DMA chunk: one (sublane, lane) tile of the cache
+    buffer (16 for bf16, 32 for int8) so every chunk DMA is tile-aligned;
+    lengths that don't divide evenly fall back to a single full-length
+    chunk (no prefix bounding, still correct)."""
+    tc = 32 if quant else 16
+    return tc if t % tc == 0 else t
+
+
+def _start_chunk_reads(ck_hbm, cv_hbm, kbuf, vbuf, ksem, vsem,
+                       g, slot, rows, TC, nc, live):
+    """Issue the live-prefix K/V chunk DMAs for image-group g into slot."""
+    for c in range(nc):
+        @pl.when(c < live)
+        def _(c=c):
+            pltpu.make_async_copy(
+                ck_hbm.at[pl.ds(g * rows, rows), pl.ds(c * TC, TC)],
+                kbuf.at[slot, :, pl.ds(c * TC, TC)],
+                ksem.at[slot, c],
+            ).start()
+            pltpu.make_async_copy(
+                cv_hbm.at[pl.ds(g * rows, rows), pl.ds(c * TC, TC)],
+                vbuf.at[slot, :, pl.ds(c * TC, TC)],
+                vsem.at[slot, c],
+            ).start()
+
+
+def _wait_chunk_reads(ck_hbm, cv_hbm, kbuf, vbuf, ksem, vsem,
+                      g, slot, rows, TC, nc, live):
+    for c in range(nc):
+        @pl.when(c < live)
+        def _(c=c):
+            pltpu.make_async_copy(
+                ck_hbm.at[pl.ds(g * rows, rows), pl.ds(c * TC, TC)],
+                kbuf.at[slot, :, pl.ds(c * TC, TC)],
+                ksem.at[slot, c],
+            ).wait()
+            pltpu.make_async_copy(
+                cv_hbm.at[pl.ds(g * rows, rows), pl.ds(c * TC, TC)],
+                vbuf.at[slot, :, pl.ds(c * TC, TC)],
+                vsem.at[slot, c],
+            ).wait()
+
+
+def _kernel_dma_bf16(G, beams, heads, head_dim, TC,
+                     idx_ref, ck_hbm, cv_hbm, q_ref, kst_ref, vst_ref, am_ref,
+                     cko, cvo, o_ref, kbuf, vbuf, wkbuf, wvbuf,
+                     ksem, vsem, wsem):
     K = beams
     i = pl.program_id(0)
     n = pl.num_programs(0)
     rows = G * K
+    t, hd = kbuf.shape[2], kbuf.shape[3]
+    nc = t // TC
+    index = idx_ref[0]
+    live = jnp.minimum((index + TC - 1) // TC, nc)
 
     # double-buffered prefetch: grid instances run sequentially on TPU, so
     # instance i computes from slot i%2 while instance i+1's K/V stream into
     # the other slot — the naive issue-then-wait version serialized ~768 DMA
     # round-trips per decode step (measured 199.9 vs 237.8 captions/s/chip)
-    def cp_k(g, slot):
-        return pltpu.make_async_copy(
-            ck_hbm.at[pl.ds(g * rows, rows)], kbuf.at[slot], ksem.at[slot]
-        )
-
-    def cp_v(g, slot):
-        return pltpu.make_async_copy(
-            cv_hbm.at[pl.ds(g * rows, rows)], vbuf.at[slot], vsem.at[slot]
-        )
-
     @pl.when(i == 0)
     def _first():
-        cp_k(0, 0).start()
-        cp_v(0, 0).start()
+        _start_chunk_reads(ck_hbm, cv_hbm, kbuf, vbuf, ksem, vsem,
+                           0, 0, rows, TC, nc, live)
 
     @pl.when(i + 1 < n)
     def _prefetch():
-        cp_k(i + 1, (i + 1) % 2).start()
-        cp_v(i + 1, (i + 1) % 2).start()
+        _start_chunk_reads(ck_hbm, cv_hbm, kbuf, vbuf, ksem, vsem,
+                           i + 1, (i + 1) % 2, rows, TC, nc, live)
 
     slot = i % 2
-    cp_k(i, slot).wait()
-    cp_v(i, slot).wait()
-    t, hd = kbuf.shape[2], kbuf.shape[3]
+    _wait_chunk_reads(ck_hbm, cv_hbm, kbuf, vbuf, ksem, vsem,
+                      i, slot, rows, TC, nc, live)
+
+    # In-kernel cache column write: the caches alias the outputs, so this
+    # DMA IS the step's cache update — no XLA write downstream (a
+    # dynamic_update_slice on the kernel's output was profiled as a FULL
+    # cache read-modify-write, ~3 ms/step at B=256).  Mosaic requires
+    # 8-aligned slices on the tiled T axis, so an aligned WC-wide window
+    # around ``index`` is written: columns < index restate the just-streamed
+    # live values (bit-identical), column ``index`` carries the step K/V,
+    # trailing columns are dead (strictly-masked until their own step
+    # rewrites them).  Must run after the read waits — the window's live
+    # columns come from the read buffers.
+    WC = 8
+    w0 = pl.multiple_of((index // WC) * WC, WC)
+    joff = jax.lax.broadcasted_iota(jnp.int32, (1, WC, 1), 1)
+    sel_step = joff == (index - w0)
+    wkbuf[:] = jnp.where(
+        sel_step, kst_ref[:].reshape(rows, 1, hd),
+        kbuf[slot, :, pl.ds(w0, WC)],
+    )
+    wvbuf[:] = jnp.where(
+        sel_step, vst_ref[:].reshape(rows, 1, hd),
+        vbuf[slot, :, pl.ds(w0, WC)],
+    )
+    wk = pltpu.make_async_copy(
+        wkbuf, cko.at[pl.ds(i * rows, rows), pl.ds(w0, WC)], wsem.at[0]
+    )
+    wv = pltpu.make_async_copy(
+        wvbuf, cvo.at[pl.ds(i * rows, rows), pl.ds(w0, WC)], wsem.at[1]
+    )
+    wk.start()
+    wv.start()
+
+    # positions >= index were never streamed: their scores are masked out
+    # (strict t < index liveness), but the V tile feeds a matmul whose dead
+    # rows carry weight exactly 0 — zero them so scratch garbage (possible
+    # NaN bit patterns in bf16) can't produce 0 * NaN = NaN
+    pos = jax.lax.broadcasted_iota(jnp.int32, (K * t, 1), 0) % t
+    vlive = pos < index
     for g in range(G):
         kt = kbuf[slot, g * K:(g + 1) * K].reshape(K * t, hd)
         vt = vbuf[slot, g * K:(g + 1) * K].reshape(K * t, hd)
+        vt = jnp.where(vlive, vt, 0).astype(jnp.bfloat16)
         o_ref[g] = _attend_tiles(
-            kt.astype(jnp.bfloat16), vt.astype(jnp.bfloat16),
+            kt.astype(jnp.bfloat16), vt,
             q_ref[g], kst_ref[g], vst_ref[g], am_ref[g],
             None, None, beams, heads, head_dim, o_ref.dtype,
         )
+    wk.wait()
+    wv.wait()
 
 
 def _rows_to_col(S, K: int, T: int):
@@ -407,46 +495,67 @@ def _rows_to_col(S, K: int, T: int):
     )                                                        # (KT, 1)
 
 
-def _kernel_dma_q8(G, beams, heads, head_dim,
-                   ck_hbm, cv_hbm,
-                   ksc_ref, vsc_ref, q_ref, kst_ref, vst_ref, am_ref,
+def _kernel_dma_q8(G, beams, heads, head_dim, TC,
+                   idx_ref, ck_hbm, cv_hbm,
+                   ksc_ref, vsc_ref, q_ref, kst_ref, vst_ref,
+                   k8_ref, v8_ref, am_ref,
                    cko, cvo, o_ref,
-                   kbuf, vbuf, ksem, vsem):
-    """int8 variant: the big int8 VALUE planes are manual-DMA pass-throughs;
-    the tiny per-ROW (B*K, T) f32 scale planes arrive as ordinary blocked
-    VMEM inputs — Mosaic cannot DMA into a sub-128-lane f32 buffer, and the
-    copy XLA inserts for a custom-call-read carried buffer is negligible at
-    scale-plane size (~100 KB vs the 10s-of-MB value planes)."""
-    del cko, cvo
+                   kbuf, vbuf, wkbuf, wvbuf, ksem, vsem, wsem):
+    """int8 variant: the big int8 VALUE planes are manual-DMA pass-throughs
+    (live-prefix chunked reads + in-kernel column write of the pre-quantized
+    step rows k8/v8); the tiny per-ROW (B*K, T) f32 scale planes arrive as
+    ordinary blocked VMEM inputs — Mosaic cannot DMA into a sub-128-lane f32
+    buffer, and the copy XLA inserts for a custom-call-read carried buffer
+    is negligible at scale-plane size (~100 KB vs the 10s-of-MB value
+    planes); their column update stays outside in XLA."""
     K = beams
     i = pl.program_id(0)
     n = pl.num_programs(0)
     rows = G * K
-
-    def cp_k(g, slot):
-        return pltpu.make_async_copy(
-            ck_hbm.at[pl.ds(g * rows, rows)], kbuf.at[slot], ksem.at[slot]
-        )
-
-    def cp_v(g, slot):
-        return pltpu.make_async_copy(
-            cv_hbm.at[pl.ds(g * rows, rows)], vbuf.at[slot], vsem.at[slot]
-        )
+    t, hd = kbuf.shape[2], kbuf.shape[3]
+    nc = t // TC
+    index = idx_ref[0]
+    live = jnp.minimum((index + TC - 1) // TC, nc)
 
     @pl.when(i == 0)
     def _first():
-        cp_k(0, 0).start()
-        cp_v(0, 0).start()
+        _start_chunk_reads(ck_hbm, cv_hbm, kbuf, vbuf, ksem, vsem,
+                           0, 0, rows, TC, nc, live)
 
     @pl.when(i + 1 < n)
     def _prefetch():
-        cp_k(i + 1, (i + 1) % 2).start()
-        cp_v(i + 1, (i + 1) % 2).start()
+        _start_chunk_reads(ck_hbm, cv_hbm, kbuf, vbuf, ksem, vsem,
+                           i + 1, (i + 1) % 2, rows, TC, nc, live)
 
     slot = i % 2
-    cp_k(i, slot).wait()
-    cp_v(i, slot).wait()
-    t, hd = kbuf.shape[2], kbuf.shape[3]
+    _wait_chunk_reads(ck_hbm, cv_hbm, kbuf, vbuf, ksem, vsem,
+                      i, slot, rows, TC, nc, live)
+
+    # aligned-window in-kernel column write (see _kernel_dma_bf16) — int8
+    # tiling demands 32-aligned T slices, hence the wider window
+    WC = 32
+    w0 = pl.multiple_of((index // WC) * WC, WC)
+    joff = jax.lax.broadcasted_iota(jnp.int32, (1, WC, 1), 1)
+    sel_step = joff == (index - w0)
+    wkbuf[:] = jnp.where(
+        sel_step, k8_ref[:].reshape(rows, 1, hd),
+        kbuf[slot, :, pl.ds(w0, WC)],
+    )
+    wvbuf[:] = jnp.where(
+        sel_step, v8_ref[:].reshape(rows, 1, hd),
+        vbuf[slot, :, pl.ds(w0, WC)],
+    )
+    wk = pltpu.make_async_copy(
+        wkbuf, cko.at[pl.ds(i * rows, rows), pl.ds(w0, WC)], wsem.at[0]
+    )
+    wv = pltpu.make_async_copy(
+        wvbuf, cvo.at[pl.ds(i * rows, rows), pl.ds(w0, WC)], wsem.at[1]
+    )
+    wk.start()
+    wv.start()
+
+    # un-streamed int8 garbage is finite and its weights are exactly 0 (the
+    # strict mask), so no V zeroing is needed here
     for g in range(G):
         sl = slice(g * K, (g + 1) * K)
         kt = kbuf[slot, sl].reshape(K * t, hd).astype(jnp.bfloat16)
@@ -458,13 +567,17 @@ def _kernel_dma_q8(G, beams, heads, head_dim,
             kt, vt, q_ref[g], kst_ref[g], vst_ref[g], am_ref[g],
             ks, vs, beams, heads, head_dim, o_ref.dtype,
         )
+    wk.wait()
+    wv.wait()
 
 
 def supports_dma(cache_k, beams: int, num_heads: int, head_dim: int) -> bool:
-    """v2 guard: MERGED (B*K, T, H*Dh) storage required (the DMA row slices
-    and the free in-VMEM (K, T, HD) -> (K*T, HD) view both assume it); int8
-    caches additionally need per-ROW (B*K, T) scales — Mosaic rejects the
-    sub-128-lane slices a per-head scale tile would take."""
+    """v3 guard: MERGED (B*K, T, H*Dh) storage required (the DMA row slices
+    and the free in-VMEM (K, T, HD) -> (K*T, HD) view both assume it); T
+    must be 8-aligned (bf16) / 32-aligned (int8) for the in-kernel aligned-
+    window column write; int8 caches additionally need per-ROW (B*K, T)
+    scales — Mosaic rejects the sub-128-lane slices a per-head scale tile
+    would take."""
     quant = isinstance(cache_k, dict)
     kv = cache_k["q"] if quant else cache_k
     if quant and cache_k["s"].ndim != 2:
@@ -473,26 +586,37 @@ def supports_dma(cache_k, beams: int, num_heads: int, head_dim: int) -> bool:
         beams >= 2
         and kv.ndim == 3
         and (num_heads * head_dim) % 128 == 0
-        and kv.shape[1] % 8 == 0
+        and kv.shape[1] % (32 if quant else 8) == 0
     )
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
 def fused_lazy_attention_dma(
     q: jnp.ndarray,        # (B, K, HD) — query, already head_dim**-0.5-scaled
     cache_k,               # merged (B*K, T, H*Dh) bf16 — or int8 dict
-    cache_v,               # {"q": (B*K, T, HD) int8, "s": (B*K, T, H) f32}
+    cache_v,               # {"q": (B*K, T, HD) int8, "s": (B*K, T) f32}
     k_step: jnp.ndarray,   # (B, K, HD) — the current step's K/V rows
     v_step: jnp.ndarray,
     amask: jnp.ndarray,    # (B, J*T, K) int8 from build_ancestry_mask
+    index: jnp.ndarray,    # scalar int32 — position being written this step
     beams: int,
     num_heads: int,
     interpret: bool = False,
 ):
     """-> (out (B, K, HD), cache_k, cache_v): same math as
-    fused_lazy_attention, but the caches flow THROUGH the kernel (aliased,
-    untouched) so the caller's subsequent column write aliases in place.
-    Callers MUST thread the returned caches onward."""
+    fused_lazy_attention, but the caches flow THROUGH the kernel (aliased)
+    and come back with the step's K/V column ALREADY written at ``index``
+    (in-kernel DMA — the only formulation XLA keeps copy-free; the v2
+    downstream dynamic_update_slice was profiled as a full cache RMW,
+    ~3 ms/step at B=256).  Reads stream only the live prefix
+    (ceil(index/TC) tile-aligned chunks).  Callers MUST thread the returned
+    caches onward and must NOT write the column again.
+
+    Cache contract: columns <= index are exact; columns > index are DEAD
+    and may hold garbage (Mosaic tiling forces the write to cover an
+    aligned window around ``index``; the trailing columns are strictly
+    masked out of every read and each is rewritten by its own step before
+    it can become live)."""
     b, k, hd = q.shape
     head_dim = hd // num_heads
     quant = isinstance(cache_k, dict)
@@ -501,24 +625,37 @@ def fused_lazy_attention_dma(
     jt = k * t
     esize = 1 if quant else 2
     G = _dma_group(b, k * t * hd * esize)
+    TC = _dma_chunk(t, quant)
 
     blk = lambda shape: pl.BlockSpec(  # noqa: E731
         (G,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM,
     )
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    # caches live in HBM explicitly (not ANY): at small shapes Mosaic would
+    # place an ANY operand in VMEM, where the in-kernel single-column write
+    # slice violates the (8, 128) tiling; at the flagship shape they exceed
+    # VMEM anyway, so this pins the production layout
+    any_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    idx_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    idx_arg = jnp.reshape(index, (1,)).astype(jnp.int32)
 
-    small_in = [blk((k, hd)), blk((k, hd)), blk((k, hd)), blk((jt, k))]
+    small_in = [blk((k, hd)), blk((k, hd)), blk((k, hd))]
     small_args = [
         q.astype(jnp.bfloat16),
         k_step.astype(jnp.bfloat16), v_step.astype(jnp.bfloat16),
-        amask,
     ]
+    am_in, am_arg = blk((jt, k)), amask
     cache_bytes = esize * 2 * jt * hd
 
     if quant:
+        # quantize the step rows here with the exact math the XLA int8 path
+        # uses (ops/quant.py), so cache contents are bit-identical either way
+        from mic_tpu.ops.quant import quantize_rows_dynamic
+
+        kq8, ksc = quantize_rows_dynamic(k_step.reshape(b * k, 1, hd))
+        vq8, vsc = quantize_rows_dynamic(v_step.reshape(b * k, 1, hd))
         kern = functools.partial(
-            _kernel_dma_q8, G, k, num_heads, head_dim
+            _kernel_dma_q8, G, k, num_heads, head_dim, TC
         )
         scale_spec = pl.BlockSpec(
             (G * k, t), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -526,7 +663,8 @@ def fused_lazy_attention_dma(
         outs = pl.pallas_call(
             kern,
             grid=(b // G,),
-            in_specs=[any_spec] * 2 + [scale_spec] * 2 + small_in,
+            in_specs=[idx_spec] + [any_spec] * 2 + [scale_spec] * 2
+            + small_in + [blk((k, hd))] * 2 + [am_in],
             out_specs=[any_spec] * 2 + [blk((k, hd))],
             out_shape=[
                 jax.ShapeDtypeStruct(cache_k["q"].shape, cache_k["q"].dtype),
@@ -536,29 +674,41 @@ def fused_lazy_attention_dma(
             scratch_shapes=[
                 pltpu.VMEM((2, G * k, t, hd), jnp.int8),
                 pltpu.VMEM((2, G * k, t, hd), jnp.int8),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((G * k, 32, hd), jnp.int8),
+                pltpu.VMEM((G * k, 32, hd), jnp.int8),
+                pltpu.SemaphoreType.DMA((2, t // TC)),
+                pltpu.SemaphoreType.DMA((2, t // TC)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
-            input_output_aliases={0: 0, 1: 1},
+            input_output_aliases={1: 0, 2: 1},
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=b * 2 * (2 * jt * hd * k * num_heads),
                 bytes_accessed=b * cache_bytes,
                 transcendentals=b * jt * k * num_heads,
             ),
-        )(cache_k["q"], cache_v["q"], cache_k["s"], cache_v["s"], *small_args)
-        ckq, cvq, out = outs
-        return (
-            out,
-            {"q": ckq, "s": cache_k["s"]},
-            {"q": cvq, "s": cache_v["s"]},
+        )(
+            idx_arg, cache_k["q"], cache_v["q"],
+            cache_k["s"], cache_v["s"], *small_args,
+            kq8.reshape(b, k, hd), vq8.reshape(b, k, hd), am_arg,
         )
+        ckq, cvq, out = outs
+        # scale planes are tiny ((B*K, T) f32); their column update stays an
+        # XLA dynamic_update_slice — the carried-buffer copy this forces is
+        # ~100 KB, negligible next to the value planes it spares
+        new_ks = jax.lax.dynamic_update_slice(
+            cache_k["s"], ksc.reshape(b * k, 1), (0, index)
+        )
+        new_vs = jax.lax.dynamic_update_slice(
+            cache_v["s"], vsc.reshape(b * k, 1), (0, index)
+        )
+        return out, {"q": ckq, "s": new_ks}, {"q": cvq, "s": new_vs}
 
-    kern = functools.partial(_kernel_dma_bf16, G, k, num_heads, head_dim)
+    kern = functools.partial(_kernel_dma_bf16, G, k, num_heads, head_dim, TC)
     outs = pl.pallas_call(
         kern,
         grid=(b // G,),
-        in_specs=[any_spec] * 2 + small_in,
+        in_specs=[idx_spec] + [any_spec] * 2 + small_in + [am_in],
         out_specs=[any_spec] * 2 + [blk((k, hd))],
         out_shape=[
             jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
@@ -568,16 +718,19 @@ def fused_lazy_attention_dma(
         scratch_shapes=[
             pltpu.VMEM((2, G * k, t, hd), cache_k.dtype),
             pltpu.VMEM((2, G * k, t, hd), cache_v.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((G * k, 8, hd), cache_k.dtype),
+            pltpu.VMEM((G * k, 8, hd), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((2, t // TC)),
+            pltpu.SemaphoreType.DMA((2, t // TC)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        input_output_aliases={0: 0, 1: 1},
+        input_output_aliases={1: 0, 2: 1},
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=b * 2 * (2 * jt * hd * k * num_heads),
             bytes_accessed=b * cache_bytes,
             transcendentals=b * jt * k * num_heads,
         ),
-    )(cache_k, cache_v, *small_args)
+    )(idx_arg, cache_k, cache_v, *small_args, am_arg)
     out_k, out_v, out = outs
     return out, out_k, out_v

@@ -178,12 +178,15 @@ def test_supports_guard():
     assert supports(merged, 4, 16, 64)
 
 
-def test_dma_kernel_matches_blocked_bf16():
-    """fused_lazy_attention_dma (manual-DMA pass-through variant) == the
-    blocked kernel, and the pass-through caches come back bit-identical."""
+@pytest.mark.parametrize("t,index", [(32, 17), (64, 40), (32, 0), (64, 63)])
+def test_dma_kernel_matches_blocked_bf16(t, index):
+    """fused_lazy_attention_dma (v3: live-prefix chunked DMA + in-kernel
+    column write) == the blocked kernel, and the pass-through caches come
+    back with the step column written at `index` (otherwise untouched).
+    Indices below t exercise the chunk-skipping path (TC=16 at these t)."""
     from mic_tpu.ops.lazy_attention import fused_lazy_attention_dma
 
-    b, k, h, dh, t, index = 2, 4, 16, 64, 32, 17
+    b, k, h, dh = 2, 4, 16, 64
     q, ck, cv, kst, vst, anc, ckp, cvp = _inputs(b, k, h, dh, t, index)
     idx = jnp.asarray(index, jnp.int32)
     amask = build_ancestry_mask(anc, idx)
@@ -195,16 +198,26 @@ def test_dma_kernel_matches_blocked_bf16():
         np.float32,
     )
     out, ck_pt, cv_pt = fused_lazy_attention_dma(
-        q, ckm, cvm, kst, vst, amask, k, h, interpret=True
+        q, ckm, cvm, kst, vst, amask, idx, k, h, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(out, np.float32), ref)
-    np.testing.assert_array_equal(np.asarray(ck_pt), np.asarray(ckm))
-    np.testing.assert_array_equal(np.asarray(cv_pt), np.asarray(cvm))
+    # cache contract: columns <= index are exact (live prefix + the step
+    # column); columns > index are DEAD — the aligned-window write may leave
+    # garbage there, and each is rewritten at its own step before any read
+    np.testing.assert_array_equal(
+        np.asarray(ck_pt)[:, : index + 1],
+        np.asarray(ckp.reshape(b * k, t, h * dh))[:, : index + 1],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cv_pt)[:, : index + 1],
+        np.asarray(cvp.reshape(b * k, t, h * dh))[:, : index + 1],
+    )
 
 
 def test_dma_kernel_int8_merged_close():
-    """merged-int8 v2 format: (B*K, T, HD) int8 values + per-ROW (B*K, T)
-    f32 scales (quantized over the full merged row)."""
+    """merged-int8 format: (B*K, T, HD) int8 values + per-ROW (B*K, T)
+    f32 scales (quantized over the full merged row).  The returned caches
+    carry the step column quantized with the exact ops/quant.py math."""
     from mic_tpu.ops.lazy_attention import fused_lazy_attention_dma
 
     b, k, h, dh, t = 2, 4, 16, 64, 32
@@ -220,12 +233,25 @@ def test_dma_kernel_int8_merged_close():
     cv8 = {"q": vq8, "s": vs[..., 0]}
     ref = np.asarray(_dense_ref(q, ckp, cvp, anc, idx, h), np.float32)
     out, ck_pt, cv_pt = fused_lazy_attention_dma(
-        q, ck8, cv8, kst, vst, amask, k, h, interpret=True
+        q, ck8, cv8, kst, vst, amask, idx, k, h, interpret=True
     )
     scale = np.max(np.abs(ref)) + 1e-9
     assert np.max(np.abs(np.asarray(out, np.float32) - ref)) / scale < 0.08
-    np.testing.assert_array_equal(np.asarray(ck_pt["q"]), np.asarray(ck8["q"]))
-    np.testing.assert_array_equal(np.asarray(cv_pt["s"]), np.asarray(cv8["s"]))
+    # the step column comes back quantized exactly as the XLA path would
+    kq8_st, ks_st = quantize_rows_dynamic(kst.reshape(b * k, 1, h * dh))
+    vq8_st, vs_st = quantize_rows_dynamic(vst.reshape(b * k, 1, h * dh))
+    exp_kq = jax.lax.dynamic_update_slice(ck8["q"], kq8_st, (0, index, 0))
+    exp_ks = jax.lax.dynamic_update_slice(
+        ck8["s"], ks_st.reshape(b * k, 1), (0, index)
+    )
+    exp_vq = jax.lax.dynamic_update_slice(cv8["q"], vq8_st, (0, index, 0))
+    exp_vs = jax.lax.dynamic_update_slice(
+        cv8["s"], vs_st.reshape(b * k, 1), (0, index)
+    )
+    np.testing.assert_array_equal(np.asarray(ck_pt["q"]), np.asarray(exp_kq))
+    np.testing.assert_array_equal(np.asarray(ck_pt["s"]), np.asarray(exp_ks))
+    np.testing.assert_array_equal(np.asarray(cv_pt["q"]), np.asarray(exp_vq))
+    np.testing.assert_array_equal(np.asarray(cv_pt["s"]), np.asarray(exp_vs))
 
 
 def test_supports_dma_guard():
@@ -236,9 +262,13 @@ def test_supports_dma_guard():
     assert not supports_dma(merged, 1, 16, 64)
     assert not supports_dma(jnp.zeros((8, 16, 16, 64), jnp.bfloat16), 4, 16, 64)
     assert not supports_dma(jnp.zeros((8, 12, 1024), jnp.bfloat16), 4, 16, 64)
-    q8 = {"q": jnp.zeros((8, 16, 1024), jnp.int8),
-          "s": jnp.zeros((8, 16), jnp.float32)}
+    q8 = {"q": jnp.zeros((8, 32, 1024), jnp.int8),
+          "s": jnp.zeros((8, 32), jnp.float32)}
     assert supports_dma(q8, 4, 16, 64)
+    # int8 needs T 32-aligned (the in-kernel window write's int8 tiling)
+    q8_t16 = {"q": jnp.zeros((8, 16, 1024), jnp.int8),
+              "s": jnp.zeros((8, 16), jnp.float32)}
+    assert not supports_dma(q8_t16, 4, 16, 64)
     q8_perhead = {"q": jnp.zeros((8, 16, 1024), jnp.int8),
                   "s": jnp.zeros((8, 16, 16), jnp.float32)}
     assert not supports_dma(q8_perhead, 4, 16, 64)  # needs per-ROW scales
