@@ -70,8 +70,31 @@ def _expand_per_beam(x, beams: int, width: int):
     )
 
 
+def _tile_consts(beams, heads, head_dim):
+    """The kernel math's constant select masks.  Built once per kernel
+    instance and reused across a DMA grid cell's G images (the per-image
+    rebuild was measurable VPU time at B=256); the single-image kernels
+    build them inline."""
+    K, H, Dh = beams, heads, head_dim
+    HD = H * Dh
+    di = jax.lax.broadcasted_iota(jnp.int32, (HD, K * H), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (HD, K * H), 1)
+    mq = di // Dh == ci % H                      # qmat block-diagonal mask
+    sri = jax.lax.broadcasted_iota(jnp.int32, (K, K * H), 0)
+    sci = jax.lax.broadcasted_iota(jnp.int32, (K, K * H), 1)
+    smask = sri == sci // H                      # step-row liveness
+    ri = jax.lax.broadcasted_iota(jnp.int32, (K * H, HD), 0)
+    dj = jax.lax.broadcasted_iota(jnp.int32, (K * H, HD), 1)
+    m_om = ri % H == dj // Dh                    # out diagonal-block mask
+    rsel = (
+        jax.lax.broadcasted_iota(jnp.int32, (K, K * H), 1) // H
+        == jax.lax.broadcasted_iota(jnp.int32, (K, K * H), 0)
+    ).astype(jnp.bfloat16)                       # K*H -> K row fold
+    return mq, smask, m_om, rsel
+
+
 def _attend_tiles(kt, vt, q, ks_step, vs_step, am, ks, vs,
-                  beams, heads, head_dim, out_dtype):
+                  beams, heads, head_dim, out_dtype, consts=None):
     """Shared kernel math on resident tiles.
 
     kt/vt (JT, HD) bf16 (already dequant-converted) — the PRE-update cache,
@@ -85,13 +108,12 @@ def _attend_tiles(kt, vt, q, ks_step, vs_step, am, ks, vs,
     K, H, Dh = beams, heads, head_dim
     HD = H * Dh
     jt = kt.shape[0]
+    mq, smask, m_om, rsel = consts or _tile_consts(K, H, Dh)
 
     # Qmat: block-diagonal per-head query matrix (HD, K*H), column k*H + h
     qt = jnp.transpose(q)                                    # (HD, K)
     qrep = _expand_per_beam(qt, K, H)                        # (HD, K*H)
-    di = jax.lax.broadcasted_iota(jnp.int32, (HD, K * H), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (HD, K * H), 1)
-    qmat = jnp.where(di // Dh == ci % H, qrep, 0).astype(jnp.bfloat16)
+    qmat = jnp.where(mq, qrep, 0).astype(jnp.bfloat16)
 
     s = jax.lax.dot_general(
         kt, qmat, (((1,), (0,)), ((), ())),
@@ -104,8 +126,6 @@ def _attend_tiles(kt, vt, q, ks_step, vs_step, am, ks, vs,
     if am is not None:
         amr = _expand_per_beam(am, K, H) != 0                # (JT, K*H)
         s = jnp.where(amr, s, NEG)
-    else:
-        amr = None
 
     if ks_step is not None:
         # current-step rows: row j' scores against every (k, h) column but
@@ -114,20 +134,15 @@ def _attend_tiles(kt, vt, q, ks_step, vs_step, am, ks, vs,
             ks_step, qmat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                    # (K, K*H)
-        sri = jax.lax.broadcasted_iota(jnp.int32, (K, K * H), 0)
-        sci = jax.lax.broadcasted_iota(jnp.int32, (K, K * H), 1)
-        smask = sri == sci // H
         ss = jnp.where(smask, ss, NEG)
         s = jnp.concatenate([s, ss], axis=0)                 # (JT+K, K*H)
-        hist_live = (
-            jnp.ones((jt, K * H), jnp.bool_) if amr is None else amr
-        )
-        live = jnp.concatenate([hist_live, smask], axis=0)
-    else:
-        live = amr
 
+    # no liveness select here: dead entries were where-masked to NEG above,
+    # and exp(NEG - m) underflows to exactly 0.0 in f32 for any reachable m
+    # (every column has a live step row, so m >> NEG), matching the previous
+    # where(live, ., 0) formulation bit-for-bit at a full tile less VPU work
     m = jnp.max(s, axis=0, keepdims=True)                    # (1, K*H)
-    e = jnp.exp(s - m) if live is None else jnp.where(live, jnp.exp(s - m), 0.0)
+    e = jnp.exp(s - m)
     w = e / jnp.sum(e, axis=0, keepdims=True)
     w_hist, w_step = w[:jt], w[jt:]
     if vs is not None:
@@ -147,14 +162,8 @@ def _attend_tiles(kt, vt, q, ks_step, vs_step, am, ks, vs,
             w_step.astype(jnp.bfloat16), vs_step, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                    # (K*H, HD)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (K * H, HD), 0)
-    dj = jax.lax.broadcasted_iota(jnp.int32, (K * H, HD), 1)
-    om = jnp.where(ri % H == dj // Dh, of, 0.0).astype(jnp.bfloat16)
+    om = jnp.where(m_om, of, 0.0).astype(jnp.bfloat16)
     # fold the K*H rows to K rows: out[k] = sum_h om[k*H + h]
-    rsel = (
-        jax.lax.broadcasted_iota(jnp.int32, (K, K * H), 1) // H
-        == jax.lax.broadcasted_iota(jnp.int32, (K, K * H), 0)
-    ).astype(jnp.bfloat16)
     out = jax.lax.dot_general(
         rsel, om, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -427,17 +436,25 @@ def _kernel_dma_bf16(G, beams, heads, head_dim, TC,
     # trailing columns are dead (strictly-masked until their own step
     # rewrites them).  Must run after the read waits — the window's live
     # columns come from the read buffers.
+    # Window columns BEYOND the step column are dead — write ZEROS there
+    # (not don't-care buffer bits): with zero-init caches this keeps every
+    # dead cache position exactly 0.0, so the compute below needs no V
+    # liveness select at all — dead rows contribute weight 0 x value 0
+    # (the full-tile (K*T, HD) V select this replaces was ~25% of the
+    # kernel's VPU time at B=256).  Columns < index restate the
+    # just-streamed live values (bit-identical).
     WC = 8
     w0 = pl.multiple_of((index // WC) * WC, WC)
     joff = jax.lax.broadcasted_iota(jnp.int32, (1, WC, 1), 1)
     sel_step = joff == (index - w0)
+    dead = joff > (index - w0)
     wkbuf[:] = jnp.where(
         sel_step, kst_ref[:].reshape(rows, 1, hd),
-        kbuf[slot, :, pl.ds(w0, WC)],
+        jnp.where(dead, 0, kbuf[slot, :, pl.ds(w0, WC)]),
     )
     wvbuf[:] = jnp.where(
         sel_step, vst_ref[:].reshape(rows, 1, hd),
-        vbuf[slot, :, pl.ds(w0, WC)],
+        jnp.where(dead, 0, vbuf[slot, :, pl.ds(w0, WC)]),
     )
     wk = pltpu.make_async_copy(
         wkbuf, cko.at[pl.ds(i * rows, rows), pl.ds(w0, WC)], wsem.at[0]
@@ -448,20 +465,30 @@ def _kernel_dma_bf16(G, beams, heads, head_dim, TC,
     wk.start()
     wv.start()
 
-    # positions >= index were never streamed: their scores are masked out
-    # (strict t < index liveness), but the V tile feeds a matmul whose dead
-    # rows carry weight exactly 0 — zero them so scratch garbage (possible
-    # NaN bit patterns in bf16) can't produce 0 * NaN = NaN
-    pos = jax.lax.broadcasted_iota(jnp.int32, (K * t, 1), 0) % t
-    vlive = pos < index
+    # V chunks beyond the live prefix were never streamed — the VMEM slot
+    # holds arbitrary bits there (possibly NaN patterns), and 0-weight x NaN
+    # = NaN in the out matmul.  Zero exactly those chunks: cost scales with
+    # the DEAD count (free late in decode), replacing the old full-tile
+    # (K*T, HD) V select.  K-side garbage needs nothing — scores are
+    # where-masked to NEG before any use.  Streamed-but-dead positions
+    # (index..live*TC) are finite by the cache contract (zeros).
+    # (only each slot's FIRST use — i < 2 — needs it: scratch persists
+    # across grid cells within the invocation and reads never re-dirty it)
+    for c in range(nc):
+        @pl.when((i < 2) & (c >= live))
+        def _(c=c):
+            vbuf[slot, :, pl.ds(c * TC, TC)] = jnp.zeros(
+                (rows, TC, hd), vbuf.dtype
+            )
+
+    consts = _tile_consts(beams, heads, head_dim)
     for g in range(G):
         kt = kbuf[slot, g * K:(g + 1) * K].reshape(K * t, hd)
         vt = vbuf[slot, g * K:(g + 1) * K].reshape(K * t, hd)
-        vt = jnp.where(vlive, vt, 0).astype(jnp.bfloat16)
         o_ref[g] = _attend_tiles(
-            kt.astype(jnp.bfloat16), vt,
+            kt.astype(jnp.bfloat16), vt.astype(jnp.bfloat16),
             q_ref[g], kst_ref[g], vst_ref[g], am_ref[g],
-            None, None, beams, heads, head_dim, o_ref.dtype,
+            None, None, beams, heads, head_dim, o_ref.dtype, consts,
         )
     wk.wait()
     wv.wait()
@@ -556,6 +583,7 @@ def _kernel_dma_q8(G, beams, heads, head_dim, TC,
 
     # un-streamed int8 garbage is finite and its weights are exactly 0 (the
     # strict mask), so no V zeroing is needed here
+    consts = _tile_consts(beams, heads, head_dim)
     for g in range(G):
         sl = slice(g * K, (g + 1) * K)
         kt = kbuf[slot, sl].reshape(K * t, hd).astype(jnp.bfloat16)
@@ -565,7 +593,7 @@ def _kernel_dma_q8(G, beams, heads, head_dim, TC,
         vs = _rows_to_col(vsc_ref[sl], K, t)
         o_ref[g] = _attend_tiles(
             kt, vt, q_ref[g], kst_ref[g], vst_ref[g], am_ref[g],
-            ks, vs, beams, heads, head_dim, o_ref.dtype,
+            ks, vs, beams, heads, head_dim, o_ref.dtype, consts,
         )
     wk.wait()
     wv.wait()
@@ -612,11 +640,14 @@ def fused_lazy_attention_dma(
     (ceil(index/TC) tile-aligned chunks).  Callers MUST thread the returned
     caches onward and must NOT write the column again.
 
-    Cache contract: columns <= index are exact; columns > index are DEAD
-    and may hold garbage (Mosaic tiling forces the write to cover an
-    aligned window around ``index``; the trailing columns are strictly
-    masked out of every read and each is rewritten by its own step before
-    it can become live)."""
+    Cache contract: columns <= index are exact; columns > index are DEAD —
+    the bf16 kernel writes ZEROS there (Mosaic tiling forces the write to
+    cover an aligned window around ``index``), and with a zero-initialized
+    cache every dead position stays exactly 0.0, which lets the compute
+    skip any V liveness select (weight 0 x value 0).  Dead input columns
+    must therefore be FINITE (zeros in production; the int8 variant's
+    garbage is inherently finite); each becomes live only when its own
+    step rewrites it."""
     b, k, hd = q.shape
     head_dim = hd // num_heads
     quant = isinstance(cache_k, dict)

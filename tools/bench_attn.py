@@ -89,11 +89,51 @@ def main(argv=None):
               f"cache stream)")
         return dt
 
+    kst = jnp.asarray(rng.normal(size=(B, K, HD)) * 0.5, jnp.bfloat16)
+    vst = jnp.asarray(rng.normal(size=(B, K, HD)) * 0.5, jnp.bfloat16)
+
     timed("xla lazy bf16", xla_layer, ck, cv, anc)
     timed("fused bf16", lambda q, ck, cv, am: fused_lazy_attention(
-        q, ck, cv, am, K, H), ck, cv, amask)
+        q, ck, cv, kst, vst, am, K, H), ck, cv, amask)
     timed("fused int8", lambda q, ck, cv, am: fused_lazy_attention(
-        q, ck, cv, am, K, H), ck8, cv8, amask)
+        q, ck, cv, kst, vst, am, K, H), ck8, cv8, amask)
+
+    # v3 DMA kernel at a sweep of write indices: flat timing = the kernel is
+    # fixed-overhead bound (DMA issue/wait latency per grid cell); timing
+    # that scales with index = live-prefix stream/compute bound
+    from mic_tpu.ops.lazy_attention import fused_lazy_attention_dma
+
+    ckm = ck.reshape(B * K, T, HD)
+    cvm = cv.reshape(B * K, T, HD)
+
+    def timed_dma(name, index):
+        idx = jnp.asarray(index, jnp.int32)
+        am = build_ancestry_mask(anc, idx)
+
+        @jax.jit
+        def loop(q, ckm, cvm):
+            def body(carry, _):
+                qq, ckc, cvc = carry
+                out, ckc, cvc = fused_lazy_attention_dma(
+                    qq, ckc, cvc, kst, vst, am, idx, K, H)
+                return (qq + out.astype(qq.dtype) * 1e-6, ckc, cvc), None
+
+            carry, _ = jax.lax.scan(body, (q, ckm, cvm), None,
+                                    length=args.reps)
+            return carry[0]
+
+        jax.block_until_ready(loop(q, ckm, cvm))
+        q2 = q + jnp.asarray(1e-3, q.dtype)
+        t0 = time.perf_counter()
+        np.asarray(loop(q2, ckm, cvm))
+        dt = (time.perf_counter() - t0) / args.reps * 1e3
+        live_gb = 2 * B * K * index * HD * 2 / 1e9
+        print(f"{name:24s} {dt:7.3f} ms/layer  ({live_gb / dt * 1e3:6.1f} "
+              f"GB/s live stream)")
+        return dt
+
+    for index in (1, 16, 32, 48, T - 1):
+        timed_dma(f"dma v3 bf16 idx={index}", index)
 
 
 if __name__ == "__main__":
