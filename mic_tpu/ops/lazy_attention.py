@@ -115,53 +115,63 @@ def _attend_tiles(kt, vt, q, ks_step, vs_step, am, ks, vs,
     qrep = _expand_per_beam(qt, K, H)                        # (HD, K*H)
     qmat = jnp.where(mq, qrep, 0).astype(jnp.bfloat16)
 
+    if ks_step is not None:
+        # current-step K/V rows ride as extra rows of the CACHE tiles (row
+        # j' live only for its own query beam j' == k), so scores and out
+        # each run as ONE matmul per image instead of a big + a tiny one —
+        # the tiny (K, HD) matmuls paid a full MXU weight-load each
+        kt = jnp.concatenate([kt, ks_step], axis=0)          # (JT+K, HD)
+        vt = jnp.concatenate([vt, vs_step], axis=0)
+
     s = jax.lax.dot_general(
         kt, qmat, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                        # (JT, K*H)
+    )                                                        # (JT[+K], K*H)
     if ks is not None:
         # per-(row, head) K scale: column k*H + h needs ks[:, h] == tile;
-        # per-ROW scale (JT, 1) broadcasts directly
-        s = s * (ks if ks.shape[1] == 1 else jnp.tile(ks, (1, K)))
+        # per-ROW scale (JT, 1) broadcasts directly.  Step rows (if any)
+        # are unquantized — scale 1.
+        sc = ks if ks.shape[1] == 1 else jnp.tile(ks, (1, K))
+        if ks_step is not None:
+            sc = jnp.concatenate(
+                [sc, jnp.ones((K, sc.shape[1]), sc.dtype)], axis=0
+            )
+        s = s * sc
     if am is not None:
         amr = _expand_per_beam(am, K, H) != 0                # (JT, K*H)
+        if ks_step is not None:
+            amr = jnp.concatenate([amr, smask], axis=0)
         s = jnp.where(amr, s, NEG)
+    elif ks_step is not None:
+        live = jnp.concatenate(
+            [jnp.ones((jt, K * H), jnp.bool_), smask], axis=0
+        )
+        s = jnp.where(live, s, NEG)
 
-    if ks_step is not None:
-        # current-step rows: row j' scores against every (k, h) column but
-        # is live only where j' == k (a beam's current token is its own)
-        ss = jax.lax.dot_general(
-            ks_step, qmat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                    # (K, K*H)
-        ss = jnp.where(smask, ss, NEG)
-        s = jnp.concatenate([s, ss], axis=0)                 # (JT+K, K*H)
-
-    # no liveness select here: dead entries were where-masked to NEG above,
+    # no liveness select below: dead entries were where-masked to NEG above,
     # and exp(NEG - m) underflows to exactly 0.0 in f32 for any reachable m
     # (every column has a live step row, so m >> NEG), matching the previous
     # where(live, ., 0) formulation bit-for-bit at a full tile less VPU work
     m = jnp.max(s, axis=0, keepdims=True)                    # (1, K*H)
     e = jnp.exp(s - m)
     w = e / jnp.sum(e, axis=0, keepdims=True)
-    w_hist, w_step = w[:jt], w[jt:]
     if vs is not None:
         # fold the V scale into the small W tile instead of dequantizing the
         # cache-sized V tile twice: out column d only reads rows with
         # h == d // Dh, where the folded scale matches exactly.  The step
         # rows are unquantized — no scale.
-        w_hist = w_hist * (vs if vs.shape[1] == 1 else jnp.tile(vs, (1, K)))
-    w_hist = w_hist.astype(jnp.bfloat16)
+        vsc = vs if vs.shape[1] == 1 else jnp.tile(vs, (1, K))
+        if ks_step is not None:
+            vsc = jnp.concatenate(
+                [vsc, jnp.ones((K, vsc.shape[1]), vsc.dtype)], axis=0
+            )
+        w = w * vsc
+    w = w.astype(jnp.bfloat16)
 
     of = jax.lax.dot_general(
-        w_hist, vt, (((0,), (0,)), ((), ())),
+        w, vt, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    if ks_step is not None:
-        of = of + jax.lax.dot_general(
-            w_step.astype(jnp.bfloat16), vs_step, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                    # (K*H, HD)
+    )                                                        # (K*H, HD)
     om = jnp.where(m_om, of, 0.0).astype(jnp.bfloat16)
     # fold the K*H rows to K rows: out[k] = sum_h om[k*H + h]
     out = jax.lax.dot_general(
