@@ -439,6 +439,19 @@ def _decoder_step_lazy(
         and cross_mask is None
         and (cfg.num_heads * cfg.head_dim) % 128 == 0
     )
+    # Fused MLP kernel (ops/fused_mlp.py): chunked fc1->gelu->fc2, the
+    # (N, ffn) intermediate never leaves VMEM.  bf16 weights only (the int8
+    # path's native int8 dot has its own fused pipeline).
+    l0 = jax.tree.map(lambda a: a[0], params["layers"])
+    mlp_kernel = (
+        os.environ.get("MIC_TPU_FUSED_MLP", "0") == "1"
+        and jax.default_backend() == "tpu"
+        and "kernel" in l0["fc1"]
+        and "bias" in l0["fc1"]
+        and token_ids.shape[0] % 8 == 0
+        and cfg.d_model % 128 == 0
+        and cfg.ffn_dim % 512 == 0
+    )
 
     new_k, new_v = [], []
     for l in range(cfg.num_layers):
@@ -469,7 +482,18 @@ def _decoder_step_lazy(
         r = x
         if not post:
             x = layer_norm(p["ln_mlp"], x, eps)
-        x = r + dense(p["fc2"], act(dense(p["fc1"], x)))
+        if mlp_kernel:
+            from mic_tpu.ops.fused_mlp import fused_mlp
+
+            bk, one, dm = x.shape
+            x = r + fused_mlp(
+                x.reshape(bk, dm),
+                p["fc1"]["kernel"], p["fc1"]["bias"],
+                p["fc2"]["kernel"], p["fc2"]["bias"],
+                cfg.activation,
+            ).reshape(bk, one, dm)
+        else:
+            x = r + dense(p["fc2"], act(dense(p["fc1"], x)))
         if post:
             x = layer_norm(p["ln_mlp"], x, eps)
     if cfg.use_final_ln:
