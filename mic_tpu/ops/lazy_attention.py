@@ -354,7 +354,16 @@ def fused_lazy_attention(
 
 def _dma_group(batch: int, per_image_bytes: int) -> int:
     """Images per grid cell: fewer, larger DMAs (one per G images) while the
-    DOUBLE-BUFFERED K/V slots (2 x 2 buffers) stay within ~8 MB of VMEM."""
+    DOUBLE-BUFFERED K/V slots (2 x 2 buffers) stay within ~8 MB of VMEM.
+    Fixed per-cell overhead measured ~0.65 us (268.9 / 259.5 / 247.7
+    captions/s/chip at G=4/2/1, B=256) — G=8 needs >16 MB scoped VMEM even
+    with a single-buffered V plane and in-place window writes (17.9 MB),
+    and single-buffering V at G=4 loses its cross-cell prefetch (267.0):
+    G=4 double-buffered is the measured optimum.  MIC_TPU_DMA_G overrides
+    for experiments."""
+    raw = os.environ.get("MIC_TPU_DMA_G")
+    if raw and batch % int(raw) == 0:
+        return int(raw)
     for g in (8, 4, 2, 1):
         if batch % g == 0 and g * per_image_bytes <= 2 * 1024 * 1024:
             return g
