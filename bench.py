@@ -42,7 +42,7 @@ SKIP_TRAIN = os.environ.get("BENCH_SKIP_TRAIN", "") == "1"
 # on a 16 GB chip, so the bench uses the production path: chunked fused CE
 # (ops/fused_ce.py) + full remat — exactly what cli/train.py defaults to at
 # this batch (PERFORMANCE.md "Training")
-TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "64"))
+TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "128"))
 TRAIN_SEQ = 64
 
 
@@ -101,7 +101,7 @@ def bench_train(config) -> float:
             return fused_lm_loss(
                 hidden, params["shared"]["embedding"],
                 params["final_logits_bias"], batch["labels"],
-                batch["decoder_attention_mask"], 0.1, 256,
+                batch["decoder_attention_mask"], 0.1, 4096,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

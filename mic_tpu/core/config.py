@@ -332,11 +332,16 @@ class TrainConfig(_JsonMixin):
     # remat ("none" | "full") for the decoder/vision blocks
     remat: str = "none"
     gen_eval: bool = True  # run BLEU generation eval at eval_steps
-    # chunked LM-head cross-entropy (ops/fused_ce.py): ~15% slower per step
-    # than dense logits (one extra LM-head matmul in bwd) but caps logits
-    # residency at O(ce_chunk * vocab) — the lever for big per-device batches
+    # chunked LM-head cross-entropy (ops/fused_ce.py): caps logits residency
+    # at O(ce_chunk * vocab).  Keep the chunk LARGE: every chunk iteration
+    # re-reads the 512 MB embedding and read-modify-writes the 1 GB f32
+    # embedding grad (~4.5 GB HBM traffic per chunk — chunk 256 measured
+    # 221 vs 327 samples/s/chip at chunk>=rows on v5e); the op clamps the
+    # chunk to the row count, so 4096 means "single pass unless the batch
+    # is huge".  Shrink only if the (ce_chunk, vocab) f32 transient
+    # (~1 GB per 1024 rows at mBART's vocab) doesn't fit.
     fused_ce: bool = False
-    ce_chunk: int = 256
+    ce_chunk: int = 4096
     # adam first-moment dtype; "bfloat16" halves a big slice of optimizer HBM
     adam_mu_dtype: str = "float32"
     # "start:stop" step range traced with jax.profiler into <output_dir>/profile

@@ -13,6 +13,16 @@ ever materializing the full logits:
 
 Peak residency drops from O(B*T*V) to O(C*V) at identical gradients
 (tests/test_fused_ce.py pins both loss and grads to the unfused path).
+
+Chunk-size economics (round 3, measured on v5e at batch 64 x seq 64,
+N = 4096 rows): every chunk iteration re-reads the whole 512 MB bf16
+embedding AND read-modify-writes the 1 GB f32 embedding-gradient
+accumulator — ~4.5 GB of HBM traffic per chunk, so SMALL chunks are
+catastrophically slow (chunk 256 = 16 iterations = ~72 GB/step: the
+backward loop alone profiled 104 ms/step).  chunk >= N collapses the scan
+to one iteration: 221 -> 327 samples/s/chip.  Keep the chunk as large as
+the (C, V) f32 logits transient fits — ~2 GB per 2048 rows; the chunk is
+clamped to the row count so small callers never pad up.
 """
 
 from __future__ import annotations
@@ -56,6 +66,7 @@ def fused_lm_loss(
 def _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk):
     b, t, d = hidden.shape
     vocab = embedding.shape[0]
+    chunk = min(chunk, b * t)
     h = _chunk(hidden.reshape(b * t, d), chunk)
     y = _chunk(labels.reshape(b * t), chunk)
     m = _chunk(mask.reshape(b * t).astype(jnp.float32), chunk)
@@ -101,6 +112,7 @@ def _fused_bwd(label_smoothing, chunk, res, g):
     hidden, embedding, bias, labels, mask, denom = res
     b, t, d = hidden.shape
     vocab = embedding.shape[0]
+    chunk = min(chunk, b * t)
     h = _chunk(hidden.reshape(b * t, d), chunk)
     y = _chunk(labels.reshape(b * t), chunk)
     m = _chunk(mask.reshape(b * t).astype(jnp.float32), chunk)
