@@ -68,6 +68,10 @@ def bench_train(config) -> float:
     ~2 days on a v3-8, /root/reference/README.md:87,99)."""
     import optax
 
+    # TPU hardware RNG for dropout masks (matches the trainer's
+    # prng_impl="rbg" default; threefry costs ~18 ms/step at this shape)
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     from mic_tpu.models.captioner import Captioner
     from mic_tpu.ops.fused_ce import fused_lm_loss
     from mic_tpu.ops.image_prep import maybe_preprocess

@@ -344,6 +344,12 @@ class TrainConfig(_JsonMixin):
     ce_chunk: int = 4096
     # adam first-moment dtype; "bfloat16" halves a big slice of optimizer HBM
     adam_mu_dtype: str = "float32"
+    # PRNG implementation for the training process ("" = leave JAX default).
+    # "rbg" drives dropout masks from the TPU hardware RNG instead of
+    # threefry2x32 VPU math: +5% measured step throughput at per-device
+    # batch 128 (333 -> 350 samples/s/chip, v5e).  Different impls draw
+    # different streams; resume is exact under the same impl.
+    prng_impl: str = "rbg"
     # "start:stop" step range traced with jax.profiler into <output_dir>/profile
     profile_steps: str | None = None
 
