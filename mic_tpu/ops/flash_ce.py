@@ -1,0 +1,319 @@
+"""Pallas flash cross-entropy over the tied LM head (training).
+
+The XLA chunked CE (ops/fused_ce.py) materializes each chunk's f32 logits
+to HBM (4.1 GB per 4096-row chunk at mBART's 250054 vocab) and re-reads
+them for every reduction (max, sumexp, label gather, row sum) — then the
+backward recomputes them again and read-modify-writes the 1 GB f32
+embedding-grad accumulator.  Profiled at ~160 ms of the 366 ms train step
+(per-device batch 128, v5e).
+
+These kernels never let a logit reach HBM:
+
+- `flash_ce_forward`: grid (row bands, vocab chunks), vocab innermost.
+  Each cell computes one (RB, VC) logits tile on the MXU and folds it into
+  per-row ONLINE accumulators (running max, rescaled sumexp, label logit,
+  row logit-sum) in VMEM scratch; the band's (lse, label_logit, sum_logits)
+  vector leaves at its last vocab cell.  The f32 logits tile lives only in
+  registers/VMEM.
+- `flash_ce_grad_w`: grid (vocab chunks, row bands), ROWS innermost so the
+  (VC, D) embedding-grad block stays resident across the row sweep and is
+  written exactly ONCE — no gradient accumulator RMW.  Recomputes the
+  logits tile, forms dl = (softmax - smoothed-target) * rowscale, and
+  contracts dl^T @ h on the spot.  The dl tile is also the source for
+  grad_bias.
+- `flash_ce_grad_h`: grid (row bands, vocab chunks), VOCAB innermost so the
+  (RB, D) f32 hidden-grad block stays resident across the vocab sweep.
+  Recomputes dl (cast to bf16, matching fused_ce's cast-before-matmul) and
+  accumulates dl @ W.
+
+Numerics: logits tiles accumulate in f32 on the MXU exactly like the XLA
+einsum; the forward lse uses online rescaling (vs XLA's one-shot max), and
+grad_W/grad_h accumulate per-band/per-chunk f32 partials where XLA uses one
+long dot — same-math different summation order, tested to tight tolerance
+against ops/fused_ce.py (itself pinned to the unfused oracle).
+
+Reference behavior being replaced: the reference's train step materialized
+the full (B, T, 250054) logits and ran optax.softmax_cross_entropy-style
+label-smoothed CE on it (/root/reference/main.py loss_fn).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = jnp.finfo(jnp.float32).min
+
+
+def _ce_fwd_kernel(vocab, nc, vc,
+                   h_ref, w_ref, b_ref, y_ref,
+                   out_ref, m_ref, s_ref, lbl_ref, z_ref):
+    c = pl.program_id(1)
+    rb = h_ref.shape[0]
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full((rb, 1), NEG, jnp.float32)
+        s_ref[:] = jnp.zeros((rb, 1), jnp.float32)
+        lbl_ref[:] = jnp.zeros((rb, 1), jnp.float32)
+        z_ref[:] = jnp.zeros((rb, 1), jnp.float32)
+
+    logits = jax.lax.dot_general(
+        h_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[:].astype(jnp.float32)                        # (RB, VC)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rb, vc), 1) + c * vc
+    valid = col < vocab
+    lm = jnp.where(valid, logits, NEG)
+
+    mx = jnp.max(lm, axis=1, keepdims=True)
+    mnew = jnp.maximum(m_ref[:], mx)
+    s_ref[:] = (
+        s_ref[:] * jnp.exp(m_ref[:] - mnew)
+        + jnp.sum(jnp.exp(lm - mnew), axis=1, keepdims=True)
+    )
+    m_ref[:] = mnew
+    onehot = col == y_ref[:]
+    lbl_ref[:] += jnp.sum(
+        jnp.where(onehot, lm, 0.0), axis=1, keepdims=True
+    )
+    z_ref[:] += jnp.sum(jnp.where(valid, logits, 0.0), axis=1, keepdims=True)
+
+    @pl.when(c == nc - 1)
+    def _():
+        lse = m_ref[:] + jnp.log(s_ref[:])
+        out_ref[:] = jnp.concatenate(
+            [lse, lbl_ref[:], z_ref[:],
+             jnp.zeros((rb, 125), jnp.float32)], axis=1,
+        )
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def flash_ce_forward(h, emb, bias, labels, interpret=False):
+    """h (N, D) bf16/f32, emb (V, D), bias (V,), labels (N,) int32 ->
+    (lse, label_logit, sum_logits), each (N,) f32.  N must be a multiple
+    of the row band (wrapper pads); V may be ragged (tail masked)."""
+    n, d = h.shape
+    v = emb.shape[0]
+    rb, vc = _fwd_tiles(n)
+    nc = -(-v // vc)
+    kern = functools.partial(_ce_fwd_kernel, v, nc, vc)
+    out = pl.pallas_call(
+        kern,
+        grid=(n // rb, nc),
+        in_specs=[
+            pl.BlockSpec((rb, d), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((vc, d), lambda r, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vc), lambda r, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, 128), lambda r, c: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rb, 1), jnp.float32)] * 4,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * d * v,
+            bytes_accessed=(n // rb) * 2 * v * d + 2 * n * d,
+            transcendentals=n * v,
+        ),
+    )(
+        h, emb.astype(h.dtype), bias.reshape(1, v).astype(jnp.float32),
+        labels.reshape(n, 1).astype(jnp.int32),
+    )
+    return out[:, 0], out[:, 1], out[:, 2]
+
+
+def _fwd_tiles(n):
+    rb = 2048 if n % 2048 == 0 else (1024 if n % 1024 == 0 else n)
+    return rb, 512
+
+
+def _ce_gw_kernel(vocab, nr, vc, conf, low,
+                  h_ref, w_ref, b_ref, y_ref, lse_ref, rs_ref,
+                  gw_ref, gb_ref):
+    r = pl.program_id(1)
+    c = pl.program_id(0)
+    rb = h_ref.shape[0]
+
+    logits = jax.lax.dot_general(
+        h_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[:].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rb, vc), 1) + c * vc
+    valid = col < vocab
+    p = jnp.exp(jnp.where(valid, logits, NEG) - lse_ref[:])
+    onehot = col == y_ref[:]
+    target = low + (conf - low) * onehot.astype(jnp.float32)
+    dl = jnp.where(valid, (p - target) * rs_ref[:], 0.0)    # (RB, VC) f32
+    dlb = dl.astype(h_ref.dtype)
+
+    part_w = jax.lax.dot_general(
+        dlb, h_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # (VC, D)
+    part_b = jnp.sum(dl, axis=0, keepdims=True)             # (1, VC)
+
+    @pl.when(r == 0)
+    def _():
+        gw_ref[:] = part_w
+        gb_ref[:] = part_b
+
+    @pl.when(r > 0)
+    def _():
+        gw_ref[:] += part_w
+        gb_ref[:] += part_b
+
+
+def _ce_gh_kernel(vocab, nc, vc, conf, low,
+                  h_ref, w_ref, b_ref, y_ref, lse_ref, rs_ref, gh_ref):
+    c = pl.program_id(1)
+    rb = h_ref.shape[0]
+
+    logits = jax.lax.dot_general(
+        h_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[:].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rb, vc), 1) + c * vc
+    valid = col < vocab
+    p = jnp.exp(jnp.where(valid, logits, NEG) - lse_ref[:])
+    onehot = col == y_ref[:]
+    target = low + (conf - low) * onehot.astype(jnp.float32)
+    dl = jnp.where(valid, (p - target) * rs_ref[:], 0.0).astype(h_ref.dtype)
+
+    # the vocab tail's W rows hold arbitrary OOB-pad bits; dl is 0 there
+    # but 0 x NaN = NaN on the MXU, so zero the dead rows
+    wrow = jax.lax.broadcasted_iota(jnp.int32, (vc, 1), 0) + c * vc
+    wz = jnp.where(wrow < vocab, w_ref[:], 0).astype(h_ref.dtype)
+    part = jax.lax.dot_general(
+        dl, wz, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # (RB, D)
+
+    @pl.when(c == 0)
+    def _():
+        gh_ref[:] = part
+
+    @pl.when(c > 0)
+    def _():
+        gh_ref[:] += part
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def flash_ce_backward(h, emb, bias, labels, lse, rowscale,
+                      label_smoothing, out_dtype_name: str = "bfloat16",
+                      interpret=False):
+    """-> (dh (N, D) out_dtype, demb (V, D) f32, dbias (V,) f32).
+
+    rowscale (N,) f32 = mask * g / denom, folded per row.  dl is cast to
+    h.dtype before BOTH contractions, matching fused_ce's backward."""
+    n, d = h.shape
+    v = emb.shape[0]
+    conf = 1.0 - label_smoothing
+    low = label_smoothing / (v - 1)
+    w = emb.astype(h.dtype)
+    b = bias.reshape(1, v).astype(jnp.float32)
+    y = labels.reshape(n, 1).astype(jnp.int32)
+    lse2 = lse.reshape(n, 1).astype(jnp.float32)
+    rs2 = rowscale.reshape(n, 1).astype(jnp.float32)
+
+    # grad_W: rows innermost -> the (VC, D) grad block is written ONCE
+    rbw, vcw = _gw_tiles(n)
+    ncw = -(-v // vcw)
+    gw, gb = pl.pallas_call(
+        functools.partial(_ce_gw_kernel, v, n // rbw, vcw, conf, low),
+        grid=(ncw, n // rbw),
+        in_specs=[
+            pl.BlockSpec((rbw, d), lambda c, r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((vcw, d), lambda c, r: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vcw), lambda c, r: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rbw, 1), lambda c, r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rbw, 1), lambda c, r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rbw, 1), lambda c, r: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((vcw, d), lambda c, r: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vcw), lambda c, r: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((v, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, v), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * d * v,
+            bytes_accessed=2 * v * d * 2 + (ncw) * 2 * n * d + 4 * v * d,
+            transcendentals=n * v,
+        ),
+    )(h, w, b, y, lse2, rs2)
+
+    # grad_h: vocab innermost -> the (RB, D) grad block is written ONCE
+    rbh, vch = _gh_tiles(n)
+    nch = -(-v // vch)
+    gh = pl.pallas_call(
+        functools.partial(_ce_gh_kernel, v, nch, vch, conf, low),
+        grid=(n // rbh, nch),
+        in_specs=[
+            pl.BlockSpec((rbh, d), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((vch, d), lambda r, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vch), lambda r, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rbh, 1), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rbh, 1), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rbh, 1), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rbh, d), lambda r, c: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * d * v,
+            bytes_accessed=(n // rbh) * 2 * v * d + 4 * n * d,
+            transcendentals=n * v,
+        ),
+    )(h, w, b, y, lse2, rs2)
+
+    return (
+        gh.astype(jnp.dtype(out_dtype_name)),
+        gw,
+        gb.reshape(v),
+    )
+
+
+def _gw_tiles(n):
+    # small row band: h is re-fetched once per (vocab chunk, band) — traffic
+    # scales with the CHUNK COUNT only (4.1 GB at VC=1024/N=8192), while the
+    # band size sets the VMEM footprint (RB=512 put the kernel 3.3 MB over
+    # the 16 MB scoped limit)
+    rb = 256 if n % 256 == 0 else n
+    # the (VC, D) f32 grad block is double-buffered by Pallas across vocab
+    # transitions: VC=1024 was 8 MB of output buffering alone (17.4 MB total)
+    return rb, 512
+
+
+def _gh_tiles(n):
+    # large row band: W is re-fetched once per band (4.1 GB at RB=1024 /
+    # N=8192); the vocab chunk sets the VMEM footprint
+    rb = 1024 if n % 1024 == 0 else n
+    return rb, 256

@@ -28,9 +28,24 @@ clamped to the row count so small callers never pad up.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+
+def _flash_mode() -> str:
+    """Route through the Pallas flash-CE kernels (ops/flash_ce.py):
+    "" = XLA chunked path, "fwd" = flash forward + XLA backward,
+    "1" = flash forward and backward.  Default "fwd" on TPU: the flash
+    forward skips the 4 GB f32 logits materialization and its 3 reduction
+    re-reads; the flash BACKWARD measured slower than XLA's (341.4 vs
+    357.8 samples/s/chip) — its grad_W/grad_h split recomputes the logits
+    GEMM twice, giving back the traffic it saves (PERFORMANCE.md)."""
+    raw = os.environ.get("MIC_TPU_FLASH_CE")
+    if raw is not None:
+        return "" if raw == "0" else raw
+    return "fwd" if jax.default_backend() == "tpu" else ""
 
 
 def _chunk(x: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -59,13 +74,47 @@ def fused_lm_loss(
     label_smoothing: float = 0.0,
     chunk: int = 512,
 ) -> jnp.ndarray:
-    loss, _ = _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk)
+    loss, _, _ = _fwd_impl(
+        hidden, embedding, bias, labels, mask, label_smoothing, chunk
+    )
     return loss
+
+
+def _normalizing(label_smoothing, vocab):
+    if label_smoothing <= 0.0:
+        return 0.0
+    confidence = 1.0 - label_smoothing
+    low = label_smoothing / (vocab - 1)
+    return -(
+        confidence * jnp.log(confidence)
+        + (vocab - 1) * low * jnp.log(low + 1e-20)
+    )
 
 
 def _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk):
     b, t, d = hidden.shape
     vocab = embedding.shape[0]
+
+    if _flash_mode():
+        from mic_tpu.ops.flash_ce import flash_ce_forward
+
+        n = b * t
+        lse, lbl, zsum = flash_ce_forward(
+            hidden.reshape(n, d), embedding, bias, labels.reshape(n),
+            jax.default_backend() != "tpu",  # interpret off-TPU (tests)
+        )
+        if label_smoothing > 0.0:
+            confidence = 1.0 - label_smoothing
+            low = label_smoothing / (vocab - 1)
+            expected = confidence * lbl + low * (zsum - lbl)
+        else:
+            expected = lbl
+        m2 = mask.reshape(n).astype(jnp.float32)
+        loss_sum = jnp.sum((lse - expected) * m2)
+        denom = jnp.sum(m2)
+        loss = loss_sum / denom - _normalizing(label_smoothing, vocab)
+        return loss, denom, (lse if _flash_mode() == "1" else None)
+
     chunk = min(chunk, b * t)
     h = _chunk(hidden.reshape(b * t, d), chunk)
     y = _chunk(labels.reshape(b * t), chunk)
@@ -91,27 +140,39 @@ def _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk):
     (loss_sum, denom), _ = jax.lax.scan(
         body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)), (h, y, m)
     )
-    if label_smoothing > 0.0:
-        normalizing = -(
-            confidence * jnp.log(confidence)
-            + (vocab - 1) * low * jnp.log(low + 1e-20)
-        )
-    else:
-        normalizing = 0.0
-    return loss_sum / denom - normalizing, denom
+    return loss_sum / denom - _normalizing(label_smoothing, vocab), denom, None
 
 
 def _fused_fwd(hidden, embedding, bias, labels, mask, label_smoothing, chunk):
-    loss, denom = _fwd_impl(
+    loss, denom, lse = _fwd_impl(
         hidden, embedding, bias, labels, mask, label_smoothing, chunk
     )
-    return loss, (hidden, embedding, bias, labels, mask, denom)
+    return loss, (hidden, embedding, bias, labels, mask, denom, lse)
 
 
 def _fused_bwd(label_smoothing, chunk, res, g):
-    hidden, embedding, bias, labels, mask, denom = res
+    hidden, embedding, bias, labels, mask, denom, lse = res
     b, t, d = hidden.shape
     vocab = embedding.shape[0]
+
+    if lse is not None:
+        from mic_tpu.ops.flash_ce import flash_ce_backward
+
+        n = b * t
+        rowscale = mask.reshape(n).astype(jnp.float32) * (g / denom)
+        dh, demb, dbias = flash_ce_backward(
+            hidden.reshape(n, d), embedding, bias, labels.reshape(n),
+            lse, rowscale, label_smoothing, str(hidden.dtype),
+            jax.default_backend() != "tpu",
+        )
+        return (
+            dh.reshape(b, t, d),
+            demb.astype(embedding.dtype),
+            dbias.astype(bias.dtype),
+            None,
+            None,
+        )
+
     chunk = min(chunk, b * t)
     h = _chunk(hidden.reshape(b * t, d), chunk)
     y = _chunk(labels.reshape(b * t), chunk)
