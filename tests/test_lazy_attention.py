@@ -178,7 +178,9 @@ def test_supports_guard():
     assert supports(merged, 4, 16, 64)
 
 
-@pytest.mark.parametrize("t,index", [(32, 17), (64, 40), (32, 0), (64, 63)])
+@pytest.mark.parametrize(
+    "t,index", [(32, 17), (64, 40), (32, 0), (64, 63), (128, 90)]
+)
 def test_dma_kernel_matches_blocked_bf16(t, index):
     """fused_lazy_attention_dma (v3: live-prefix chunked DMA + in-kernel
     column write) == the blocked kernel, and the pass-through caches come
