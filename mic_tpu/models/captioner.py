@@ -389,11 +389,10 @@ class Captioner:
             lazy
             and on_tpu
             and fla == "2"
-            and gen.num_beams >= 2
-            and (dec.num_heads * dec.head_dim) % 128 == 0
-            # the in-kernel aligned-window column write needs T 8-aligned
-            # (bf16) / 32-aligned (int8) — mirror supports_dma
-            and gen.max_length % (32 if kv_quant == "int8" else 8) == 0
+            and lazy_attention.dma_shape_ok(
+                gen.max_length, gen.num_beams, dec.num_heads, dec.head_dim,
+                kv_quant == "int8",
+            )
             and not mbart_decoder._attn_buckets(gen.max_length)
         )
         # Segmented cache growth: run the decode loop in phases over growing
@@ -430,7 +429,10 @@ class Captioner:
                 # kernel will reject it would run the slow XLA fallback on
                 # the merged layout every step (tools/bench_cache_write.py)
                 and all(
-                    (t % (32 if kv_quant == "int8" else 8) == 0)
+                    lazy_attention.dma_shape_ok(
+                        t, gen.num_beams, dec.num_heads, dec.head_dim,
+                        kv_quant == "int8",
+                    )
                     if fla == "2"
                     else (gen.num_beams * t) % 16 == 0
                     for t in seg_lens

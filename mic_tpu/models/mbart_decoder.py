@@ -389,17 +389,17 @@ def _decoder_step_lazy(
     buckets = _attn_buckets(cache.max_len)
 
     # Fused Pallas decode attention (ops/lazy_attention.py), selected by
-    # lazy_attention.resolve_mode: the v2 DMA pass-through kernel is the
-    # DEFAULT for max_length > 64 (the XLA score chain degrades
-    # super-linearly with cache length: 30.0 vs 110.3 captions/s/chip at
-    # batch 256 / max_length 128 — PERFORMANCE.md); the XLA chain remains
-    # the default at <= 64 (237.8 vs 229.8).  MIC_TPU_FUSED_LAZY_ATTN
-    # overrides: =1 blocked kernel (faster standalone but XLA copies any
-    # while-carried cache both read by a custom call and column-written in
-    # the same iteration, +1.37 ms/step), =2 DMA kernel (caches flow
-    # THROUGH as aliased ANY operands so the write aliases in place; also
-    # the int8-KV vehicle), =0 XLA chain.  The ancestry+liveness mask is
-    # layer-invariant: built ONCE per step and shared by all layers.
+    # lazy_attention.resolve_mode: the v3 DMA pass-through kernel is the
+    # TPU DEFAULT at EVERY max_length (265.4 vs 240.1 captions/s/chip at
+    # batch 256 / len 64; 115.9 vs 30.0 at len 128 — the XLA score chain
+    # degrades super-linearly with cache length, PERFORMANCE.md).
+    # MIC_TPU_FUSED_LAZY_ATTN overrides: =1 blocked kernel (faster
+    # standalone but XLA copies any while-carried cache both read by a
+    # custom call and column-written in the same iteration, +1.37 ms/step),
+    # =2 DMA kernel (caches flow THROUGH as aliased ANY operands and the
+    # column write happens IN-kernel; also the int8-KV vehicle), =0 XLA
+    # chain.  The ancestry+liveness mask is layer-invariant: built ONCE per
+    # step and shared by all layers.
     amask = None
     dma = False
     fla = os.environ.get("MIC_TPU_FUSED_LAZY_ATTN")
@@ -441,13 +441,13 @@ def _decoder_step_lazy(
     )
     # Fused MLP kernel (ops/fused_mlp.py): chunked fc1->gelu->fc2, the
     # (N, ffn) intermediate never leaves VMEM.  bf16 weights only (the int8
-    # path's native int8 dot has its own fused pipeline).
-    l0 = jax.tree.map(lambda a: a[0], params["layers"])
+    # path's native int8 dot has its own fused pipeline).  Opt-in: measured
+    # SLOWER than XLA's MLP mega-fusion (PERFORMANCE.md).
     mlp_kernel = (
         os.environ.get("MIC_TPU_FUSED_MLP", "0") == "1"
         and jax.default_backend() == "tpu"
-        and "kernel" in l0["fc1"]
-        and "bias" in l0["fc1"]
+        and "kernel" in params["layers"]["fc1"]
+        and "bias" in params["layers"]["fc1"]
         and token_ids.shape[0] % 8 == 0
         and cfg.d_model % 128 == 0
         and cfg.ffn_dim % 512 == 0

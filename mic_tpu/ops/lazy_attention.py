@@ -217,7 +217,9 @@ def resolve_mode(max_length: int) -> str:
     """MIC_TPU_FUSED_LAZY_ATTN: "0" (XLA chain), "1" (blocked kernel),
     "2" (DMA pass-through kernel) — or unset = auto.
 
-    Auto picks the v3 DMA kernel on TPU at every max_length: with the
+    ``max_length`` is currently unused (kept so a future length-dependent
+    policy doesn't change call sites — the round-2 auto policy keyed on
+    it).  Auto picks the v3 DMA kernel on TPU at every max_length: with the
     in-kernel column write (no XLA cache RMW) and live-prefix chunked
     streaming it measures 265.4 vs 240.1 captions/s/chip at the flagship
     B=256 / beam-4 / max_length-64 shape, and the XLA score/softmax chain
@@ -362,8 +364,14 @@ def _dma_group(batch: int, per_image_bytes: int) -> int:
     G=4 double-buffered is the measured optimum.  MIC_TPU_DMA_G overrides
     for experiments."""
     raw = os.environ.get("MIC_TPU_DMA_G")
-    if raw and batch % int(raw) == 0:
-        return int(raw)
+    if raw:
+        try:
+            g = int(raw)
+        except ValueError:
+            g = 0
+        if g > 0 and batch % g == 0:
+            return g
+        # invalid / 0 / non-divisor: fall through to the auto policy
     for g in (8, 4, 2, 1):
         if batch % g == 0 and g * per_image_bytes <= 2 * 1024 * 1024:
             return g
@@ -618,22 +626,33 @@ def _kernel_dma_q8(G, beams, heads, head_dim, TC,
     wv.wait()
 
 
+def dma_shape_ok(t: int, beams: int, num_heads: int, head_dim: int,
+                 quant: bool) -> bool:
+    """The DMA kernel's SHAPE eligibility — the single source of truth used
+    by supports_dma (on the live cache) AND by the captioner's trace-time
+    layout decisions (cache_segments off, merged storage on), which must
+    mirror the step-time gate exactly or every step silently runs the slow
+    XLA fallback on the merged layout.  T must be 8-aligned (bf16) /
+    32-aligned (int8) for the in-kernel aligned-window column write."""
+    return (
+        beams >= 2
+        and (num_heads * head_dim) % 128 == 0
+        and t % (32 if quant else 8) == 0
+    )
+
+
 def supports_dma(cache_k, beams: int, num_heads: int, head_dim: int) -> bool:
-    """v3 guard: MERGED (B*K, T, H*Dh) storage required (the DMA row slices
-    and the free in-VMEM (K, T, HD) -> (K*T, HD) view both assume it); T
-    must be 8-aligned (bf16) / 32-aligned (int8) for the in-kernel aligned-
-    window column write; int8 caches additionally need per-ROW (B*K, T)
-    scales — Mosaic rejects the sub-128-lane slices a per-head scale tile
-    would take."""
+    """v3 guard: dma_shape_ok plus the LAYOUT requirements — MERGED
+    (B*K, T, H*Dh) storage (the DMA row slices and the free in-VMEM
+    (K, T, HD) -> (K*T, HD) view both assume it); int8 caches additionally
+    need per-ROW (B*K, T) scales — Mosaic rejects the sub-128-lane slices
+    a per-head scale tile would take."""
     quant = isinstance(cache_k, dict)
     kv = cache_k["q"] if quant else cache_k
     if quant and cache_k["s"].ndim != 2:
         return False
-    return (
-        beams >= 2
-        and kv.ndim == 3
-        and (num_heads * head_dim) % 128 == 0
-        and kv.shape[1] % (32 if quant else 8) == 0
+    return kv.ndim == 3 and dma_shape_ok(
+        kv.shape[1], beams, num_heads, head_dim, quant
     )
 
 

@@ -238,9 +238,41 @@ class Trainer:
             lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
             self._state_shape, self.shardings,
         )
+
+        def restore(fn):
+            try:
+                return fn(template)
+            except Exception:
+                # PRNG impl changed since the checkpoint was written (e.g.
+                # a pre-round-3 threefry checkpoint restored under the rbg
+                # default, or vice versa): the stored key array's shape
+                # differs from the template's.  Retry with the other key
+                # shape, then RE-SEED dropout_rng under the current impl —
+                # dropout streams are not part of model state, only
+                # same-impl resumes are bit-exact (config.py prng_impl).
+                cur = template.dropout_rng
+                alt_shape = (2,) if cur.shape == (4,) else (4,)
+                alt = template._replace(dropout_rng=jax.ShapeDtypeStruct(
+                    alt_shape, cur.dtype, sharding=cur.sharding
+                ))
+                state, meta = fn(alt)
+                if state is None:
+                    return state, meta
+                print(
+                    "[mic_tpu] checkpoint dropout_rng was written under a "
+                    "different PRNG impl; re-seeding (set train.prng_impl "
+                    "to the original impl for bit-exact resume)"
+                )
+                fresh = jax.random.fold_in(
+                    jax.random.PRNGKey(0), int(state.step)
+                )
+                return state._replace(dropout_rng=fresh), meta
+
         if self.tc.resume_from is not None:
             manager, step = TrainCheckpointManager.open(self.tc.resume_from)
-            state, meta = manager.restore(template, step=step)
+            state, meta = restore(
+                lambda t: manager.restore(t, step=step)
+            )
             manager.close()
             if state is None:
                 raise FileNotFoundError(
@@ -250,7 +282,7 @@ class Trainer:
                 train_loader.set_state(meta)
             return state
         if self.ckpt.latest_step() is not None:
-            state, meta = self.ckpt.restore(template)
+            state, meta = restore(self.ckpt.restore)
             if state is not None:
                 if meta:
                     train_loader.set_state(meta)

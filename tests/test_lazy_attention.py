@@ -204,8 +204,10 @@ def test_dma_kernel_matches_blocked_bf16(t, index):
     )
     np.testing.assert_array_equal(np.asarray(out, np.float32), ref)
     # cache contract: columns <= index are exact (live prefix + the step
-    # column); columns > index are DEAD — the aligned-window write may leave
-    # garbage there, and each is rewritten at its own step before any read
+    # column); dead columns WITHIN the written window carry exact ZEROS —
+    # load-bearing: the kernel dropped its V-liveness select because dead
+    # positions are guaranteed finite (0-weight x NaN = NaN otherwise);
+    # columns beyond the window are untouched input
     np.testing.assert_array_equal(
         np.asarray(ck_pt)[:, : index + 1],
         np.asarray(ckp.reshape(b * k, t, h * dh))[:, : index + 1],
@@ -213,6 +215,13 @@ def test_dma_kernel_matches_blocked_bf16(t, index):
     np.testing.assert_array_equal(
         np.asarray(cv_pt)[:, : index + 1],
         np.asarray(cvp.reshape(b * k, t, h * dh))[:, : index + 1],
+    )
+    w_end = (index // 8) * 8 + 8
+    np.testing.assert_array_equal(
+        np.asarray(ck_pt, np.float32)[:, index + 1: w_end], 0.0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cv_pt, np.float32)[:, index + 1: w_end], 0.0
     )
 
 

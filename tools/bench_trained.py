@@ -33,7 +33,11 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--max_length", type=int, default=64)
     ap.add_argument("--num_beams", type=int, default=4)
-    ap.add_argument("--early_stopping", action="store_true", default=True)
+    ap.add_argument(
+        "--no_early_stopping", action="store_true",
+        help="disable beam early stopping to measure the full-length "
+        "baseline this script exists to contrast against",
+    )
     ap.add_argument("--quant", default=None, choices=[None, "int8"])
     args = ap.parse_args()
 
@@ -76,7 +80,7 @@ def main() -> None:
             num_beams=args.num_beams,
             decoder_start_token_id=model.config.decoder.pad_token_id,
             forced_bos_token_id=start,
-            early_stopping=True, quantize=args.quant,
+            early_stopping=not args.no_early_stopping, quantize=args.quant,
         ).sequences
 
     def sample(batch):
