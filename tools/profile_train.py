@@ -1,0 +1,219 @@
+"""Profile the training step on the real TPU and print the op-family table.
+
+Builds EXACTLY bench.py's train step (flash-CE forward + XLA CE backward,
+full remat, rbg dropout, donated state) at the production per-device batch,
+traces a few steps, and aggregates the xplane into per-family ms/step — the
+training twin of tools/profile_serving.py + agg_profile.py.
+
+  python tools/profile_train.py [--batch 128] [--steps 3] [--top 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+import tempfile
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# Train-step op families.  Leaf ops only (while/cond wrappers include their
+# children and are skipped); everything unmatched is bucketed by opcode prefix.
+FAMILIES = [
+    ("while/cond wrappers", re.compile(r"^%?(while|cond|conditional)")),
+    ("flash-CE fwd kernel", re.compile(r"flash_ce|_ce_fwd")),
+    ("fused-CE chunk (bwd logits GEMM + grads)", re.compile(r"fused_ce|ce_chunk")),
+    # NB: TPU XLA names many dot/GEMM fusions "convolution*", not just the
+    # patch-embed conv — this family is "GEMM-ish fusions"
+    ("convolution/dot fusions", re.compile(r"convolution")),
+    ("rng (dropout masks)", re.compile(r"rng|threefry|philox|rbg|bit-generator")),
+    ("copy", re.compile(r"^%?copy")),
+    ("dynamic-update", re.compile(r"dynamic-update|update-slice")),
+    ("all-reduce/collective", re.compile(r"all-reduce|all-gather|reduce-scatter|collective")),
+    ("transpose fusions", re.compile(r"transpose")),
+]
+
+
+def build_step(batch_size: int, seq: int = 64):
+    """bench.py's train step, verbatim semantics (bench.py:62-158)."""
+    import optax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    from mic_tpu import CaptionerConfig
+    from mic_tpu.models.captioner import Captioner
+    from mic_tpu.ops.fused_ce import fused_lm_loss
+    from mic_tpu.ops.image_prep import maybe_preprocess
+    from mic_tpu.train.schedule import linear_warmup_linear_decay
+    from mic_tpu.train.state import TrainState, make_optimizer
+
+    config = CaptionerConfig.clip_vit_b32_mbart50(dtype="bfloat16")
+    model = Captioner(config, remat=True)
+    optimizer = make_optimizer(linear_warmup_linear_decay(5e-5, 10000, 1000))
+
+    def init_state():
+        params = model.init_params(jax.random.PRNGKey(0))
+        return TrainState.create(params, optimizer, 0)
+
+    state = jax.jit(init_state)()
+    jax.block_until_ready(state.params)
+
+    def train_step(state, batch):
+        pixels = maybe_preprocess(
+            batch["pixel_values"], config.vision.image_size,
+            config.compute_dtype,
+        )
+        rng = jax.random.fold_in(state.dropout_rng, state.step)
+
+        def loss_fn(params):
+            vision_rng = jax.random.fold_in(rng, 0x5649)
+            enc = model.encode(params, pixels, rng=vision_rng)
+            hidden = model.decode_hidden(
+                params, enc, batch["decoder_input_ids"],
+                batch["decoder_attention_mask"], rng,
+            )
+            return fused_lm_loss(
+                hidden, params["shared"]["embedding"],
+                params["final_logits_bias"], batch["labels"],
+                batch["decoder_attention_mask"], 0.1,
+                int(os.environ.get("MIC_TPU_CE_CHUNK", "4096")),
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, opt_state, state.step + 1, state.dropout_rng),
+            loss,
+        )
+
+    p_step = jax.jit(train_step, donate_argnums=(0,))
+
+    rng = np.random.default_rng(1)
+    vocab = config.decoder.vocab_size
+
+    def make_batch():
+        return {
+            "pixel_values": jnp.asarray(rng.integers(
+                0, 255, size=(batch_size, 256, 256, 3), dtype=np.uint8
+            )),
+            "labels": jnp.asarray(rng.integers(
+                4, vocab, size=(batch_size, seq)
+            ).astype(np.int32)),
+            "decoder_input_ids": jnp.asarray(rng.integers(
+                4, vocab, size=(batch_size, seq)
+            ).astype(np.int32)),
+            "decoder_attention_mask": jnp.ones((batch_size, seq), jnp.int32),
+        }
+
+    return p_step, state, make_batch
+
+
+def aggregate(xplane_path: str, steps: int, top: int) -> None:
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(xplane_path, "rb") as f:
+        xs.ParseFromString(f.read())
+
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        ev_names = {i: m.name for i, m in plane.event_metadata.items()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            tot = defaultdict(int)
+            for ev in line.events:
+                tot[ev_names.get(ev.metadata_id, "?")] += ev.duration_ps
+            fam = defaultdict(int)
+            other = defaultdict(int)
+            wrapper_ms = 0.0
+            for name, ps in tot.items():
+                for fname, rx in FAMILIES:
+                    if rx.search(name):
+                        if fname == "while/cond wrappers":
+                            wrapper_ms += ps / 1e9
+                        else:
+                            fam[fname] += ps
+                        break
+                else:
+                    key = name.lstrip("%").split(".")[0].split(" ")[0][:40]
+                    other[key] += ps
+
+            leaf_total = sum(fam.values()) + sum(other.values())
+            print(f"leaf total: {leaf_total/1e9:.1f} ms "
+                  f"({leaf_total/1e9/steps:.2f} ms/step); "
+                  f"wrappers (incl. children): {wrapper_ms:.1f} ms")
+            rows = [(k, v) for k, v in fam.items()] + list(other.items())
+            for k, v in sorted(rows, key=lambda kv: -kv[1]):
+                ms = v / 1e9
+                if ms < 0.5:
+                    continue
+                print(f"  {ms:9.2f} ms  {ms/steps:8.3f} ms/step  {k}")
+            if top:
+                print("\n-- top leaves --")
+                leaves = [
+                    (n, ps) for n, ps in tot.items()
+                    if not FAMILIES[0][1].search(n)
+                ]
+                for n, ps in sorted(leaves, key=lambda kv: -kv[1])[:top]:
+                    print(f"  {ps/1e9:9.2f} ms  {n[:150]}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--steps", type=int, default=3, help="traced steps")
+    p.add_argument("--top", type=int, default=30)
+    p.add_argument("--out", default=None, help="trace dir (default: tmp)")
+    args = p.parse_args(argv)
+
+    p_step, state, make_batch = build_step(args.batch)
+
+    # pre-stage all batches on device BEFORE timing (bench.py does the same):
+    # host->device transfers ride a network tunnel here and would otherwise
+    # land inside the timed step
+    batches = [make_batch() for _ in range(3 + args.steps)]
+    jax.block_until_ready(batches)
+
+    t0 = time.perf_counter()
+    state, loss = p_step(state, batches[0])
+    float(loss)
+    print(f"compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # honest per-step wall time (distinct inputs, loss readback)
+    times = []
+    for b in batches[1:3]:
+        t0 = time.perf_counter()
+        state, loss = p_step(state, b)
+        assert np.isfinite(float(loss))
+        times.append(time.perf_counter() - t0)
+    step_ms = float(np.median(times)) * 1e3
+    print(f"measured step: {step_ms:.1f} ms "
+          f"({args.batch/np.median(times):.1f} samples/s/chip)")
+
+    trace_dir = args.out or tempfile.mkdtemp(prefix="mic_train_trace_")
+    with jax.profiler.trace(trace_dir):
+        for b in batches[3:]:
+            state, loss = p_step(state, b)
+            float(loss)
+
+    print(f"trace: {trace_dir}")
+    from parse_profile import find_xplane  # noqa: E402
+    aggregate(find_xplane(trace_dir), args.steps, args.top)
+
+
+if __name__ == "__main__":
+    _here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, _here)                       # parse_profile
+    sys.path.insert(0, os.path.dirname(_here))      # mic_tpu
+    main()
