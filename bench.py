@@ -39,9 +39,9 @@ TARGET_PER_CHIP = 5000 / 8  # north-star: 5k captions/s on v5e-8
 SKIP_LATENCY = os.environ.get("BENCH_SKIP_LATENCY", "") == "1"
 SKIP_TRAIN = os.environ.get("BENCH_SKIP_TRAIN", "") == "1"
 # the reference's per-device batch (run.sh:29); the dense-logit CE OOMs at 64
-# on a 16 GB chip, so the bench uses the production path: chunked fused CE
-# (ops/fused_ce.py) + full remat — exactly what cli/train.py defaults to at
-# this batch (PERFORMANCE.md "Training")
+# on a 16 GB chip, so the bench uses the production path: fused CE (flash
+# forward + dl backward on TPU, ops/fused_ce.py) + "masks" remat — exactly
+# what cli/train.py defaults to at this batch (PERFORMANCE.md "Training")
 TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "128"))
 TRAIN_SEQ = 64
 
@@ -78,7 +78,7 @@ def bench_train(config) -> float:
     from mic_tpu.train.schedule import linear_warmup_linear_decay
     from mic_tpu.train.state import TrainState, make_optimizer
 
-    model = Captioner(config, remat=True)
+    model = Captioner(config, remat="masks")
     optimizer = make_optimizer(linear_warmup_linear_decay(5e-5, 10000, 1000))
 
     def init_state():

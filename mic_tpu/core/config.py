@@ -329,8 +329,22 @@ class TrainConfig(_JsonMixin):
     # mesh shape: data-parallel x model-parallel
     dp: int = -1  # -1 = all remaining devices
     tp: int = 1
-    # remat ("none" | "full") for the decoder/vision blocks
-    remat: str = "none"
+    # remat for the decoder/vision blocks:
+    #   "none"  — save all per-layer activations (OOMs at batch >= 64 on a
+    #             16 GB chip with the flagship model)
+    #   "full"  — jax.checkpoint per layer, recompute everything in backward
+    #   "masks" — full remat EXCEPT dropout masks (save_only_these_names):
+    #             the backward reuses the forward's bool masks instead of
+    #             re-deriving every rng stream + compare (~300 MB saved
+    #             activations at per-device batch 128)
+    #   "dots"  — save matmul outputs (dots_saveable): backward skips the
+    #             GEMM recompute (OOMs at the flagship batch-128 shape:
+    #             17.8 G > 15.75 G hbm, measured)
+    # Default "masks": "none" OOMs at the production batch on a 16 GB chip,
+    # and masks+dl-CE measured 389.2 samples/s/chip vs 360.2 for full+fwd-CE
+    # (each alone is a wash — together they close both device time and
+    # dispatch gaps; tools/profile_train.py, v5e).
+    remat: str = "masks"
     gen_eval: bool = True  # run BLEU generation eval at eval_steps
     # chunked LM-head cross-entropy (ops/fused_ce.py): caps logits residency
     # at O(ce_chunk * vocab).  Keep the chunk LARGE: every chunk iteration
@@ -340,7 +354,10 @@ class TrainConfig(_JsonMixin):
     # chunk to the row count, so 4096 means "single pass unless the batch
     # is huge".  Shrink only if the (ce_chunk, vocab) f32 transient
     # (~1 GB per 1024 rows at mBART's vocab) doesn't fit.
-    fused_ce: bool = False
+    # Default True: the dense-logit CE OOMs at the production batch (the
+    # (B, T, 250054) logits tensor alone is ~4 GB bf16 at batch 64); False
+    # keeps the oracle path for tiny configs/tests.
+    fused_ce: bool = True
     ce_chunk: int = 4096
     # adam first-moment dtype; "bfloat16" halves a big slice of optimizer HBM
     adam_mu_dtype: str = "float32"

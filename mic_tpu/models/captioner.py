@@ -97,7 +97,8 @@ class CaptionerOutput(NamedTuple):
 
 
 class Captioner:
-    def __init__(self, config: CaptionerConfig, attn_impl: str = "xla", remat: bool = False):
+    def __init__(self, config: CaptionerConfig, attn_impl: str = "xla",
+                 remat: "bool | str" = False):
         self.config = config
         self.attn_impl = attn_impl
         self.remat = remat

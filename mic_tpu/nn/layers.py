@@ -116,6 +116,10 @@ def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarra
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)
+    # named so remat="masks" (save_only_these_names) can keep the bool mask
+    # across the per-layer checkpoint instead of re-deriving the rng stream
+    from jax.ad_checkpoint import checkpoint_name
+    mask = checkpoint_name(mask, "dropout_mask")
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 

@@ -30,12 +30,17 @@ def scan_apply(
     h: jnp.ndarray,
     stacked_params,
     per_layer_xs: Optional[Any] = None,
-    remat: bool = False,
+    remat: "bool | str" = False,
 ):
     """Run `body(h, layer_params, layer_idx, per_layer_x) -> (h, ys)` over layers.
 
     Returns (final_h, stacked_ys). `per_layer_xs` leaves must have a leading L
     axis; pass None when the body has no per-layer inputs.
+
+    `remat` selects the per-layer checkpoint policy: False/"none" = no remat;
+    True/"full" = recompute everything; "masks" = save dropout masks (the
+    backward reuses the forward's bool masks instead of re-deriving the rng
+    streams); "dots" = save matmul outputs (backward skips GEMM recompute).
     """
     L = num_layers_of(stacked_params)
     idxs = jnp.arange(L, dtype=jnp.int32)
@@ -44,6 +49,15 @@ def scan_apply(
         params, idx, extra = xs
         return body(carry, params, idx, extra)
 
-    if remat:
-        scan_body = jax.checkpoint(scan_body, prevent_cse=False)
+    if remat and remat != "none":
+        policy = None
+        if remat == "masks":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "dropout_mask"
+            )
+        elif remat == "dots":
+            policy = jax.checkpoint_policies.dots_saveable
+        elif remat not in (True, "full"):
+            raise ValueError(f"unknown remat policy: {remat!r}")
+        scan_body = jax.checkpoint(scan_body, prevent_cse=False, policy=policy)
     return jax.lax.scan(scan_body, h, (stacked_params, idxs, per_layer_xs))

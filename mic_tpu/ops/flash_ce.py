@@ -25,6 +25,10 @@ These kernels never let a logit reach HBM:
   (RB, D) f32 hidden-grad block stays resident across the vocab sweep.
   Recomputes dl (cast to bf16, matching fused_ce's cast-before-matmul) and
   accumulates dl @ W.
+- `flash_ce_backward_dl` (the TPU default backward): ONE kernel recomputes
+  the logits from the saved forward lse, materializes dl as bf16 (+ exact
+  f32 dbias partials), and dh/demb run as plain XLA GEMMs over dl — one
+  logits recompute instead of the two the grad_w/grad_h split pays.
 
 Numerics: logits tiles accumulate in f32 on the MXU exactly like the XLA
 einsum; the forward lse uses online rescaling (vs XLA's one-shot max), and
@@ -299,6 +303,112 @@ def flash_ce_backward(h, emb, bias, labels, lse, rowscale,
         gw,
         gb.reshape(v),
     )
+
+
+def _ce_dl_kernel(vocab, vc, conf, low,
+                  h_ref, w_ref, b_ref, y_ref, lse_ref, rs_ref,
+                  dl_ref, gbp_ref):
+    c = pl.program_id(1)
+    rb = h_ref.shape[0]
+
+    logits = jax.lax.dot_general(
+        h_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[:].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rb, vc), 1) + c * vc
+    valid = col < vocab
+    p = jnp.exp(jnp.where(valid, logits, NEG) - lse_ref[:])
+    onehot = col == y_ref[:]
+    target = low + (conf - low) * onehot.astype(jnp.float32)
+    dl = jnp.where(valid, (p - target) * rs_ref[:], 0.0)    # (RB, VC) f32
+    dl_ref[:] = dl.astype(dl_ref.dtype)
+    # exact f32 dbias partial, one per row band.  The block is padded to 8
+    # sublanes (Mosaic's minimum); rows 1..7 are zeroed so the caller's
+    # plain sum over axis 0 stays exact.
+    part = jnp.sum(dl, axis=0, keepdims=True)               # (1, VC)
+    rowz = jax.lax.broadcasted_iota(jnp.int32, (8, dl.shape[1]), 0) == 0
+    gbp_ref[:] = jnp.where(rowz, part, 0.0)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def flash_ce_backward_dl(h, emb, bias, labels, lse, rowscale,
+                         label_smoothing, out_dtype_name: str = "bfloat16",
+                         interpret=False):
+    """Backward via ONE logits recompute: the kernel materializes the row-
+    scaled softmax gradient dl = (p - smoothed-target) * rowscale as bf16
+    (plus exact f32 per-band dbias partials), and dh/demb are plain XLA
+    GEMMs over dl.  vs the two-kernel backward (grad_w + grad_h), this
+    skips one full logits GEMM recompute (4.2 TFLOP at N=8192) for a 2 GB
+    bf16 dl round-trip; vs the XLA chunked backward it skips the f32
+    logits materialization and its softmax/dbias re-reads (~12 GB f32
+    traffic at N=8192).  Same math: dl is cast to h.dtype before both
+    contractions exactly like ops/fused_ce.py's backward."""
+    n, d = h.shape
+    v = emb.shape[0]
+    conf = 1.0 - label_smoothing
+    low = label_smoothing / (v - 1)
+    w = emb.astype(h.dtype)
+    b = bias.reshape(1, v).astype(jnp.float32)
+    y = labels.reshape(n, 1).astype(jnp.int32)
+    lse2 = lse.reshape(n, 1).astype(jnp.float32)
+    rs2 = rowscale.reshape(n, 1).astype(jnp.float32)
+
+    rb, vc = _dl_tiles(n)
+    nr = n // rb
+    nc = -(-v // vc)
+    dl, gbp = pl.pallas_call(
+        functools.partial(_ce_dl_kernel, v, vc, conf, low),
+        # rows OUTER: the h band stays resident across the vocab sweep; W is
+        # re-streamed once per band (nr x 512 MB, hidden under the GEMM)
+        grid=(nr, nc),
+        in_specs=[
+            pl.BlockSpec((rb, d), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((vc, d), lambda r, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vc), lambda r, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rb, vc), lambda r, c: (r, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, vc), lambda r, c: (r, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, v), h.dtype),
+            jax.ShapeDtypeStruct((nr * 8, v), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * d * v,
+            bytes_accessed=nr * 2 * v * d + 2 * n * d + 2 * n * v,
+            transcendentals=n * v,
+        ),
+    )(h, w, b, y, lse2, rs2)
+
+    dh = jnp.einsum("nv,vd->nd", dl, w,
+                    preferred_element_type=jnp.float32)
+    demb = jnp.einsum("nv,nd->vd", dl, h,
+                      preferred_element_type=jnp.float32)
+    return (
+        dh.astype(jnp.dtype(out_dtype_name)),
+        demb,
+        jnp.sum(gbp, axis=0),
+    )
+
+
+def _dl_tiles(n):
+    # one row band resident across the vocab sweep; VC=512 keeps the dl out
+    # block + f32 temporaries inside the 16 MB scoped-VMEM budget
+    rb = 1024 if n % 1024 == 0 else n
+    return rb, 512
 
 
 def _gw_tiles(n):

@@ -37,15 +37,15 @@ import jax.numpy as jnp
 def _flash_mode() -> str:
     """Route through the Pallas flash-CE kernels (ops/flash_ce.py):
     "" = XLA chunked path, "fwd" = flash forward + XLA backward,
-    "1" = flash forward and backward.  Default "fwd" on TPU: the flash
-    forward skips the 4 GB f32 logits materialization and its 3 reduction
-    re-reads; the flash BACKWARD measured slower than XLA's (341.4 vs
-    357.8 samples/s/chip) — its grad_W/grad_h split recomputes the logits
-    GEMM twice, giving back the traffic it saves (PERFORMANCE.md)."""
+    "1" = flash forward and two-kernel backward, "dl" = flash forward +
+    dl-materializing backward (one logits recompute; dh/demb as XLA GEMMs
+    over the bf16 dl tensor).  The two-kernel backward measured slower
+    than XLA's (341.4 vs 357.8 samples/s/chip) — its grad_W/grad_h split
+    recomputes the logits GEMM twice (PERFORMANCE.md)."""
     raw = os.environ.get("MIC_TPU_FLASH_CE")
     if raw is not None:
         return "" if raw == "0" else raw
-    return "fwd" if jax.default_backend() == "tpu" else ""
+    return "dl" if jax.default_backend() == "tpu" else ""
 
 
 def _chunk(x: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -113,7 +113,7 @@ def _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk):
         loss_sum = jnp.sum((lse - expected) * m2)
         denom = jnp.sum(m2)
         loss = loss_sum / denom - _normalizing(label_smoothing, vocab)
-        return loss, denom, (lse if _flash_mode() == "1" else None)
+        return loss, denom, (lse if _flash_mode() in ("1", "dl") else None)
 
     chunk = min(chunk, b * t)
     h = _chunk(hidden.reshape(b * t, d), chunk)
@@ -156,11 +156,15 @@ def _fused_bwd(label_smoothing, chunk, res, g):
     vocab = embedding.shape[0]
 
     if lse is not None:
-        from mic_tpu.ops.flash_ce import flash_ce_backward
+        from mic_tpu.ops.flash_ce import (
+            flash_ce_backward, flash_ce_backward_dl,
+        )
 
         n = b * t
         rowscale = mask.reshape(n).astype(jnp.float32) * (g / denom)
-        dh, demb, dbias = flash_ce_backward(
+        bwd = (flash_ce_backward_dl if _flash_mode() == "dl"
+               else flash_ce_backward)
+        dh, demb, dbias = bwd(
             hidden.reshape(n, d), embedding, bias, labels.reshape(n),
             lse, rowscale, label_smoothing, str(hidden.dtype),
             jax.default_backend() != "tpu",

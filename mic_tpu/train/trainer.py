@@ -66,7 +66,10 @@ class Trainer:
             # so resume under the SAME impl is exact either way.  TPU-only:
             # CPU (tests) keeps the reproducible threefry default.
             jax.config.update("jax_default_prng_impl", train_config.prng_impl)
-        self.model = Captioner(model_config, remat=(train_config.remat == "full"))
+        self.model = Captioner(
+            model_config,
+            remat=(train_config.remat if train_config.remat != "none" else False),
+        )
         self.tokenizer = tokenizer or load_tokenizer(tokenizer_path)
         self.mesh = make_mesh(dp=train_config.dp, tp=train_config.tp)
         self.logger = MetricLogger(train_config.output_dir)

@@ -1,9 +1,10 @@
 """ops/flash_ce.py: the Pallas flash-CE kernels == the XLA chunked path.
 
-Modes: "fwd" (flash forward + XLA backward — the TPU default) and "1"
-(flash backward too — measured slower end-to-end, kept opt-in).  Both are
-pinned against the XLA chunked path, which test_fused_ce.py pins against
-the unfused oracle.  Interpret mode (CPU).
+Modes: "fwd" (flash forward + XLA backward), "1" (two-kernel flash
+backward — measured slower end-to-end, kept opt-in) and "dl" (flash
+forward + dl-materializing backward — the TPU default).  All are pinned
+against the XLA chunked path, which test_fused_ce.py pins against the
+unfused oracle.  Interpret mode (CPU).
 """
 
 import jax
@@ -26,7 +27,7 @@ def _inputs(b=2, t=16, d=128, v=997, dtype=jnp.bfloat16):
     return hidden, emb, bias, labels, mask
 
 
-@pytest.mark.parametrize("mode", ["fwd", "1"])
+@pytest.mark.parametrize("mode", ["fwd", "1", "dl"])
 @pytest.mark.parametrize("smoothing", [0.0, 0.1])
 def test_flash_matches_xla_chunked(monkeypatch, mode, smoothing):
     hidden, emb, bias, labels, mask = _inputs()

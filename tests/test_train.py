@@ -258,12 +258,16 @@ def test_loss_decreases_overfit(tmp_path):
 
 @pytest.mark.slow
 def test_remat_matches_no_remat(tmp_path):
-    """remat='full' must change memory, not math: identical first-step loss."""
+    """remat policies must change memory, not math: identical first-step loss.
+
+    "masks" saves the dropout masks across the per-layer checkpoint and
+    "dots" saves matmul outputs — under the deterministic threefry PRNG both
+    recompute to the same values, so every policy must match "none"."""
     from mic_tpu.train.trainer import Trainer
 
     train_tsv, val_tsv, img_dir = make_synthetic_dataset(tmp_path, n=8)
     losses = {}
-    for remat in ("none", "full"):
+    for remat in ("none", "full", "masks", "dots"):
         mc, dc, tc = tiny_configs(
             tmp_path, train_tsv, val_tsv, img_dir, num_epochs=1, remat=remat,
             output_dir=str(tmp_path / f"run_{remat}"),
@@ -273,7 +277,18 @@ def test_remat_matches_no_remat(tmp_path):
         trainer.build(10)
         state = trainer._init_state()
         batch = next(loader.epoch_iterator(epoch=0))
-        _, m = trainer.p_train_step(state, trainer._put_batch(batch))
-        losses[remat] = float(m["loss"])
+        state, m = trainer.p_train_step(state, trainer._put_batch(batch))
+        # loss pins the forward; a post-update param leaf pins the backward
+        losses[remat] = (
+            float(m["loss"]),
+            np.asarray(state.params["final_logits_bias"], np.float64),
+        )
         trainer.ckpt.close()
-    np.testing.assert_allclose(losses["none"], losses["full"], rtol=1e-6)
+    for remat in ("full", "masks", "dots"):
+        np.testing.assert_allclose(
+            losses["none"][0], losses[remat][0], rtol=1e-6, err_msg=remat
+        )
+        np.testing.assert_allclose(
+            losses["none"][1], losses[remat][1], rtol=1e-5, atol=1e-7,
+            err_msg=remat,
+        )

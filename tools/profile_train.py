@@ -40,7 +40,7 @@ FAMILIES = [
 ]
 
 
-def build_step(batch_size: int, seq: int = 64):
+def build_step(batch_size: int, seq: int = 64, remat="full", attn="xla"):
     """bench.py's train step, verbatim semantics (bench.py:62-158)."""
     import optax
 
@@ -54,7 +54,7 @@ def build_step(batch_size: int, seq: int = 64):
     from mic_tpu.train.state import TrainState, make_optimizer
 
     config = CaptionerConfig.clip_vit_b32_mbart50(dtype="bfloat16")
-    model = Captioner(config, remat=True)
+    model = Captioner(config, remat=remat, attn_impl=attn)
     optimizer = make_optimizer(linear_warmup_linear_decay(5e-5, 10000, 1000))
 
     def init_state():
@@ -175,14 +175,21 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=3, help="traced steps")
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--out", default=None, help="trace dir (default: tmp)")
+    p.add_argument("--remat", default="full",
+                   choices=["none", "full", "masks", "dots"])
+    p.add_argument("--attn", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--no-trace", action="store_true",
+                   help="just measure the step, skip tracing")
     args = p.parse_args(argv)
 
-    p_step, state, make_batch = build_step(args.batch)
+    p_step, state, make_batch = build_step(
+        args.batch, remat=args.remat, attn=args.attn
+    )
 
     # pre-stage all batches on device BEFORE timing (bench.py does the same):
     # host->device transfers ride a network tunnel here and would otherwise
     # land inside the timed step
-    batches = [make_batch() for _ in range(3 + args.steps)]
+    batches = [make_batch() for _ in range(6 + args.steps)]
     jax.block_until_ready(batches)
 
     t0 = time.perf_counter()
@@ -192,7 +199,7 @@ def main(argv=None):
 
     # honest per-step wall time (distinct inputs, loss readback)
     times = []
-    for b in batches[1:3]:
+    for b in batches[1:6]:
         t0 = time.perf_counter()
         state, loss = p_step(state, b)
         assert np.isfinite(float(loss))
@@ -200,10 +207,12 @@ def main(argv=None):
     step_ms = float(np.median(times)) * 1e3
     print(f"measured step: {step_ms:.1f} ms "
           f"({args.batch/np.median(times):.1f} samples/s/chip)")
+    if args.no_trace:
+        return
 
     trace_dir = args.out or tempfile.mkdtemp(prefix="mic_train_trace_")
     with jax.profiler.trace(trace_dir):
-        for b in batches[3:]:
+        for b in batches[6:]:
             state, loss = p_step(state, b)
             float(loss)
 
