@@ -9,6 +9,7 @@ natural per-layer remat boundary.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional
 
 import jax
@@ -60,4 +61,11 @@ def scan_apply(
         elif remat not in (True, "full"):
             raise ValueError(f"unknown remat policy: {remat!r}")
         scan_body = jax.checkpoint(scan_body, prevent_cse=False, policy=policy)
-    return jax.lax.scan(scan_body, h, (stacked_params, idxs, per_layer_xs))
+    # _split_transpose splits the scan's backward into a separate loop, which
+    # can change how XLA lays out the per-layer grad-slab updates; measured
+    # experiment knob (see PERFORMANCE.md train budget: grad-stack DUS row)
+    split = os.environ.get("MIC_TPU_SCAN_SPLIT_TRANSPOSE") == "1"
+    return jax.lax.scan(
+        scan_body, h, (stacked_params, idxs, per_layer_xs),
+        _split_transpose=split,
+    )

@@ -161,21 +161,28 @@ def _fused_bwd(label_smoothing, chunk, res, g):
         )
 
         n = b * t
-        rowscale = mask.reshape(n).astype(jnp.float32) * (g / denom)
-        bwd = (flash_ce_backward_dl if _flash_mode() == "dl"
-               else flash_ce_backward)
-        dh, demb, dbias = bwd(
-            hidden.reshape(n, d), embedding, bias, labels.reshape(n),
-            lse, rowscale, label_smoothing, str(hidden.dtype),
-            jax.default_backend() != "tpu",
-        )
-        return (
-            dh.reshape(b, t, d),
-            demb.astype(embedding.dtype),
-            dbias.astype(bias.dtype),
-            None,
-            None,
-        )
+        # the dl backward materializes a bf16 (N, V) gradient tensor; above
+        # ~8k rows at mBART's vocab that transient alone is >4 GB, so huge
+        # batches fall back to the XLA chunked backward (which ignores lse)
+        max_dl_rows = int(os.environ.get("MIC_TPU_DL_MAX_ROWS", "8192"))
+        if _flash_mode() == "dl" and n > max_dl_rows:
+            pass  # fall through to the XLA chunked backward below
+        else:
+            rowscale = mask.reshape(n).astype(jnp.float32) * (g / denom)
+            bwd = (flash_ce_backward_dl if _flash_mode() == "dl"
+                   else flash_ce_backward)
+            dh, demb, dbias = bwd(
+                hidden.reshape(n, d), embedding, bias, labels.reshape(n),
+                lse, rowscale, label_smoothing, str(hidden.dtype),
+                jax.default_backend() != "tpu",
+            )
+            return (
+                dh.reshape(b, t, d),
+                demb.astype(embedding.dtype),
+                dbias.astype(bias.dtype),
+                None,
+                None,
+            )
 
     chunk = min(chunk, b * t)
     h = _chunk(hidden.reshape(b * t, d), chunk)
