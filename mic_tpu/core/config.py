@@ -329,6 +329,13 @@ class TrainConfig(_JsonMixin):
     # mesh shape: data-parallel x model-parallel
     dp: int = -1  # -1 = all remaining devices
     tp: int = 1
+    # ZeRO-3-style fully-sharded data parallel: params + adam moments shard
+    # their largest divisible dim over the "data" axis (GSPMD all-gathers
+    # weights just-in-time, reduce-scatters grads).  Step math is unchanged;
+    # per-device state memory drops ~1/dp.  Off by default: at the flagship
+    # scale (~600 M params) replicated state fits one v5e chip, so fsdp only
+    # pays when dp>=2 is memory-bound (larger models / fatter optimizers).
+    fsdp: bool = False
     # remat for the decoder/vision blocks:
     #   "none"  — save all per-layer activations (OOMs at batch >= 64 on a
     #             16 GB chip with the flagship model)

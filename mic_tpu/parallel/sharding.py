@@ -14,6 +14,12 @@ Tensor-parallel layout (Megatron-style, collectives inserted by GSPMD):
   fc2               (F, D)   -> shard input dim
   shared embedding  (V, D)   -> shard vocab rows  (tied LM head -> vocab-
                                 sharded logits, psum on gather)
+
+FSDP (opt-in, `fsdp=True` / TrainConfig.fsdp): after the TP rules, every
+leaf's largest still-replicated divisible dim also shards over "data"
+(ZeRO-3 — GSPMD all-gathers weights just-in-time and reduce-scatters
+grads; adam moments follow the same specs, so per-device state memory
+drops ~1/dp).
 """
 
 from __future__ import annotations
@@ -55,41 +61,76 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
+def _add_fsdp_axis(spec, shape: Sequence[int], fsdp_axis_size: int):
+    """ZeRO-3-style weight sharding: split the LARGEST still-replicated,
+    evenly-divisible dim of this leaf over the "data" axis (on top of any
+    tensor-parallel axes the rules assigned).  GSPMD then all-gathers each
+    weight just-in-time for its matmul and reduce-scatters its gradient —
+    per-device param+optimizer memory drops ~1/dp with no step-math change.
+    Ties break toward the trailing dim (minor-most memory layout: an
+    all-gather on the last dim is a contiguous-lane concat)."""
+    if fsdp_axis_size <= 1:
+        return spec
+    best = -1
+    for i, (ax, n) in enumerate(zip(spec, shape)):
+        if ax is None and n % fsdp_axis_size == 0 and n >= fsdp_axis_size:
+            if best < 0 or n >= shape[best]:
+                best = i
+    if best < 0:
+        return spec
+    spec = list(spec)
+    spec[best] = DATA_AXIS
+    return spec
+
+
 def spec_for(
     path: str,
     shape: Sequence[int],
     model_axis_size: int,
     rules=DEFAULT_RULES,
+    fsdp_axis_size: int = 1,
 ) -> P:
+    ndim = len(shape)
+    spec = [None] * ndim
     for pattern, trailing in rules:
         if re.search(pattern, path):
-            ndim = len(shape)
             spec = [None] * (ndim - len(trailing)) + list(trailing)
             # divisibility guard: replicate any dim the mesh can't split
             spec = [
                 ax if (ax is None or shape[i] % model_axis_size == 0) else None
                 for i, ax in enumerate(spec)
             ]
-            return P(*spec)
-    return P()
+            break
+    spec = _add_fsdp_axis(spec, shape, fsdp_axis_size)
+    # normalize fully-replicated specs to P() (semantically identical to
+    # P(None, ...); keeps spec equality checks and cache keys stable)
+    if all(ax is None for ax in spec):
+        return P()
+    return P(*spec)
 
 
-def param_specs(params: Any, model_axis_size: int, rules=DEFAULT_RULES):
+def param_specs(params: Any, model_axis_size: int, rules=DEFAULT_RULES,
+                fsdp_axis_size: int = 1):
     """Pytree of PartitionSpec matching `params`."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: spec_for(_path_str(path), leaf.shape, model_axis_size, rules),
+        lambda path, leaf: spec_for(
+            _path_str(path), leaf.shape, model_axis_size, rules,
+            fsdp_axis_size=fsdp_axis_size),
         params,
     )
 
 
-def param_shardings(params: Any, mesh: Mesh, rules=DEFAULT_RULES):
-    specs = param_specs(params, mesh.shape[MODEL_AXIS], rules)
+def param_shardings(params: Any, mesh: Mesh, rules=DEFAULT_RULES,
+                    fsdp: bool = False):
+    specs = param_specs(params, mesh.shape[MODEL_AXIS], rules,
+                        fsdp_axis_size=mesh.shape[DATA_AXIS] if fsdp else 1)
     return jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
 
 
-def shard_params(params: Any, mesh: Mesh, rules=DEFAULT_RULES):
+def shard_params(params: Any, mesh: Mesh, rules=DEFAULT_RULES,
+                 fsdp: bool = False):
     """Place (or re-place) a param pytree onto the mesh per the rules."""
-    shardings = param_shardings(params, mesh, rules)
+    shardings = param_shardings(params, mesh, rules, fsdp=fsdp)
     return jax.tree.map(jax.device_put, params, shardings)
 
 

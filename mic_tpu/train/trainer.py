@@ -38,13 +38,16 @@ from mic_tpu.train.state import TrainState, make_optimizer
 from mic_tpu.train.steps import count_params
 
 
-def state_shardings(state_shape, mesh):
+def state_shardings(state_shape, mesh, fsdp: bool = False):
     """Apply the param sharding rules across the WHOLE train state: adam
     moments mirror the param tree paths, so the same trailing-path rules shard
-    them identically; scalars/rng fall through to replicated."""
+    them identically; scalars/rng fall through to replicated.  With fsdp=True
+    every leaf additionally shards its largest divisible dim over "data"
+    (ZeRO-3: weights all-gathered just-in-time, grads reduce-scattered)."""
     from jax.sharding import NamedSharding
 
-    specs = param_specs(state_shape, mesh.shape["model"])
+    specs = param_specs(state_shape, mesh.shape["model"],
+                        fsdp_axis_size=mesh.shape["data"] if fsdp else 1)
     return jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
 
 
@@ -133,7 +136,7 @@ class Trainer:
             return TrainState.create(params, self.optimizer, tc.seed)
 
         state_shape = jax.eval_shape(init_state)
-        self.shardings = state_shardings(state_shape, self.mesh)
+        self.shardings = state_shardings(state_shape, self.mesh, fsdp=tc.fsdp)
         self.batch_shard = batch_sharding(self.mesh)
         self._init_state = jax.jit(init_state, out_shardings=self.shardings)
         self._state_shape = state_shape

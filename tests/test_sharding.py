@@ -33,12 +33,59 @@ def test_param_specs_rules():
     assert specs["final_logits_bias"] == P("model")
 
 
+def test_fsdp_specs():
+    """fsdp adds a "data" shard on the largest still-replicated divisible dim
+    of every leaf, on top of the TP rules (ZeRO-3 weight layout)."""
+    model = Captioner(tp_friendly_config())
+    params = jax.eval_shape(model.init_params, jax.random.PRNGKey(0))
+    specs = param_specs(params, model_axis_size=2, fsdp_axis_size=4)
+    # embedding (V=128, D): vocab dim is TP-sharded, so fsdp takes the other
+    assert specs["shared"]["embedding"] == P("model", "data")
+    # stacked (L, D, D) q kernel: output dim TP-sharded, fsdp takes dim 1
+    assert specs["decoder"]["layers"]["self_attn"]["q"]["kernel"] == P(None, "data", "model")
+    # rule-less leaves get pure fsdp sharding (largest divisible dim)
+    assert specs["decoder"]["layers"]["ln_self"]["scale"] == P(None, "data")
+    # indivisible leaves stay replicated (rng key-sized (2,) etc.)
+    from mic_tpu.parallel.sharding import spec_for
+    assert spec_for("rng", (2,), 2, fsdp_axis_size=4) == P()
+    assert spec_for("step", (), 2, fsdp_axis_size=4) == P()
+
+
+@pytest.mark.slow
+def test_fsdp_loss_matches_single_device():
+    """FSDP-sharded params: same loss/grads as one device; state actually
+    sharded over "data" (per-device bytes ~ total/dp)."""
+    config = tp_friendly_config()
+    model = Captioner(config)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = _batch(config)
+    loss_fn = _loss_fn(model)
+
+    single = jax.jit(jax.value_and_grad(loss_fn))(params, batch)
+
+    mesh = make_mesh(dp=4, tp=2)
+    sharded_params = shard_params(params, mesh, fsdp=True)
+    bshard = batch_sharding(mesh)
+    dev_batch = jax.tree.map(lambda x: jax.device_put(x, bshard), batch)
+    sharded = jax.jit(jax.value_and_grad(loss_fn))(sharded_params, dev_batch)
+
+    np.testing.assert_allclose(float(single[0]), float(sharded[0]), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(single[1]), jax.tree.leaves(sharded[1])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(jax.device_get(b)), atol=1e-4, rtol=1e-3
+        )
+    q = sharded_params["decoder"]["layers"]["self_attn"]["q"]["kernel"]
+    assert q.sharding.spec == P(None, "data", "model")
+    # each device holds 1/(dp*tp) of the fully-sharded leaf
+    assert q.addressable_shards[0].data.nbytes == q.nbytes // 8
+
+
 def test_divisibility_guard():
     model = Captioner(CaptionerConfig.tiny())  # vocab 99: odd
     params = jax.eval_shape(model.init_params, jax.random.PRNGKey(0))
     specs = param_specs(params, model_axis_size=2)
-    # vocab 99 not divisible by 2 -> embedding replicated on that dim
-    assert specs["shared"]["embedding"] == P(None, None)
+    # vocab 99 not divisible by 2 -> embedding replicated (normalized to P())
+    assert specs["shared"]["embedding"] == P()
 
 
 def _loss_fn(model):
