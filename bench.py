@@ -165,6 +165,15 @@ def main() -> None:
     config = CaptionerConfig.clip_vit_b32_mbart50(dtype="bfloat16")
     model = Captioner(config)
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
+    # production serving keeps weights RESIDENT in the compute dtype (the
+    # in-generate f32->bf16 cast becomes a no-op XLA elides), and the f32
+    # tree (~2.4 GB) leaves HBM: 265.6 -> 268.3 bf16 / 272.0 -> 278.4 int8
+    # at B=256, and B=512 fits (plateaus — see PERFORMANCE.md batch sweep)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
     jax.block_until_ready(params)
 
     @jax.jit
