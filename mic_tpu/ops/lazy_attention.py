@@ -355,14 +355,17 @@ def fused_lazy_attention(
 
 
 def _dma_group(batch: int, per_image_bytes: int) -> int:
-    """Images per grid cell: fewer, larger DMAs (one per G images) while the
-    DOUBLE-BUFFERED K/V slots (2 x 2 buffers) stay within ~8 MB of VMEM.
-    Fixed per-cell overhead measured ~0.65 us (268.9 / 259.5 / 247.7
-    captions/s/chip at G=4/2/1, B=256) — G=8 needs >16 MB scoped VMEM even
-    with a single-buffered V plane and in-place window writes (17.9 MB),
-    and single-buffering V at G=4 loses its cross-cell prefetch (267.0):
-    G=4 double-buffered is the measured optimum.  MIC_TPU_DMA_G overrides
-    for experiments."""
+    """Images per grid cell: fewer, larger DMAs (one per G images).  Fixed
+    per-cell overhead measured ~0.65 us (278.2 / 268.9 / 259.5 / 247.7
+    captions/s/chip at G=8/4/2/1, B=256).  G=8's double-buffered K/V slots
+    need ~17.9 MB of scratch — past Mosaic's 16 MB DEFAULT scoped-VMEM
+    budget, which is why G was capped at 4 until the kernel started sizing
+    its own per-kernel ``vmem_limit_bytes`` (see _decode_attention_dma);
+    v5e has 128 MB of VMEM, so the 4 MB/plane-slot cap below (= G=8 at the
+    flagship shape, ~26 MB budget) is nowhere near the hardware.  G=16
+    (~67 MB scratch) measured 277.8 — the marginal cell-overhead saving no
+    longer pays for the VMEM residency — so the ladder stops at 8.
+    MIC_TPU_DMA_G overrides for experiments."""
     raw = os.environ.get("MIC_TPU_DMA_G")
     if raw:
         try:
@@ -373,7 +376,7 @@ def _dma_group(batch: int, per_image_bytes: int) -> int:
             return g
         # invalid / 0 / non-divisor: fall through to the auto policy
     for g in (8, 4, 2, 1):
-        if batch % g == 0 and g * per_image_bytes <= 2 * 1024 * 1024:
+        if batch % g == 0 and g * per_image_bytes <= 4 * 1024 * 1024:
             return g
     return 1
 
@@ -696,6 +699,20 @@ def fused_lazy_attention_dma(
     G = _dma_group(b, k * t * hd * esize)
     TC = _dma_chunk(t, quant)
 
+    # Mosaic's default scoped-VMEM budget is 16 MB, which is what kept G=8
+    # off the table (17.9 MB of scratch at the flagship shape — see
+    # _dma_group).  The budget is per-KERNEL-configurable, so size it to the
+    # actual double-buffered scratch + window buffers + ~8 MB for the compute
+    # tiles instead of inheriting the global default.  v5e has 128 MB VMEM.
+    scratch_bytes = 2 * (
+        2 * G * k * t * hd * esize          # double-buffered K+V planes
+        + G * k * (32 if quant else 8) * hd * esize  # column-window buffers
+    )
+    vmem_limit = min(scratch_bytes + 8 * 1024 * 1024, 100 * 1024 * 1024)
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=max(vmem_limit, 16 * 1024 * 1024)
+    )
+
     blk = lambda shape: pl.BlockSpec(  # noqa: E731
         (G,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM,
@@ -750,6 +767,7 @@ def fused_lazy_attention_dma(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             input_output_aliases={1: 0, 2: 1},
+            compiler_params=compiler_params,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=b * 2 * (2 * jt * hd * k * num_heads),
@@ -794,6 +812,7 @@ def fused_lazy_attention_dma(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         input_output_aliases={1: 0, 2: 1},
+        compiler_params=compiler_params,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=b * 2 * (2 * jt * hd * k * num_heads),
