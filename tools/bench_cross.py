@@ -55,6 +55,24 @@ def main(argv=None):
                          preferred_element_type=q.dtype)
         return out.reshape(B, K, HD)
 
+    # Layout experiment: the (B, S, H, Dh) cache lane-pads Dh 64->128 inside
+    # the decode loop (104 MB read vs 52 logical per layer at B=256 —
+    # PERFORMANCE.md budget).  Batch-minormost storage (S, H, Dh, B) keeps the
+    # lane dim at B (a 128 multiple at the flagship batch), mirroring the
+    # layout XLA itself picks for the SELF cache ({0,3,2,1}).  The transpose
+    # happens once per generate (loop-invariant cache).
+    ekT = jnp.transpose(ek, (1, 2, 3, 0))   # (S, H, Dh, B)
+    evT = jnp.transpose(ev, (1, 2, 3, 0))
+
+    def xla_layer_bminor(q, ekT, evT):
+        q4 = q.reshape(B, K, H, Dh)
+        scores = jnp.einsum("bkhd,shdb->bhks", q4, ekT,
+                            preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhks,shdb->bkhd", w, evT,
+                         preferred_element_type=q.dtype)
+        return out.reshape(B, K, HD)
+
     def timed(name, fn, *xs):
         @jax.jit
         def loop(q, *xs):
@@ -77,6 +95,7 @@ def main(argv=None):
         print(f"{name:18s} {dt*1e3:7.3f} ms/layer  (x12 = {dt*12e3:6.2f} ms/step)")
 
     timed("xla", xla_layer, ek, ev)
+    timed("xla batch-minor", xla_layer_bminor, ekT, evT)
     timed("kernel bf16", lambda q, k, v: fused_cross_attention(q, k, v, K, H),
           ekm, evm)
     timed("kernel int8", lambda q, k, v: fused_cross_attention(q, k, v, K, H),
