@@ -311,6 +311,27 @@ def test_resolve_mode(monkeypatch):
     assert resolve_mode(128) == "0"
 
 
+def test_dma_group_policy(monkeypatch):
+    """The auto DMA-group ladder picks G=8 at the flagship decode shape
+    (B=256, beam 4, T=64, HD=1024 bf16 -> 512 KB/image), bounded by the
+    4 MB/plane-slot cap (the kernel sizes its own vmem_limit_bytes, so the
+    binding constraint is the measured G=16 regression, not Mosaic's 16 MB
+    default budget); MIC_TPU_DMA_G overrides only with a valid divisor."""
+    from mic_tpu.ops.lazy_attention import _dma_group
+
+    monkeypatch.delenv("MIC_TPU_DMA_G", raising=False)
+    flagship = 4 * 64 * 1024 * 2    # beams * t * (heads*head_dim) * bf16
+    assert _dma_group(256, flagship) == 8
+    # larger per-image footprint (max_length 256): ladder steps down
+    assert _dma_group(256, 4 * 256 * 1024 * 2) == 2
+    # non-8-divisible batch falls to the next divisor
+    assert _dma_group(4, flagship) == 4
+    monkeypatch.setenv("MIC_TPU_DMA_G", "2")
+    assert _dma_group(256, flagship) == 2
+    monkeypatch.setenv("MIC_TPU_DMA_G", "3")   # non-divisor: auto policy
+    assert _dma_group(256, flagship) == 8
+
+
 def test_fused_qkv_projection_bit_identical():
     """fuse_qkv_params (models/mbart_decoder.py): the concatenated (D, 3D)
     self-attention projection must be BIT-identical to three separate GEMMs
