@@ -33,6 +33,13 @@ def main(argv=None):
     config = CaptionerConfig.clip_vit_b32_mbart50(dtype="bfloat16")
     model = Captioner(config)
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
+    # bf16-RESIDENT weights, matching bench.py's production-serving default
+    # (the in-generate cast no-ops and the f32 tree leaves HBM)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
     jax.block_until_ready(params)
 
     @jax.jit
