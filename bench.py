@@ -164,16 +164,12 @@ def main() -> None:
 
     config = CaptionerConfig.clip_vit_b32_mbart50(dtype="bfloat16")
     model = Captioner(config)
+    from mic_tpu.core.params import make_serving_params
+
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
-    # production serving keeps weights RESIDENT in the compute dtype (the
-    # in-generate f32->bf16 cast becomes a no-op XLA elides), and the f32
-    # tree (~2.4 GB) leaves HBM: 265.6 -> 268.3 bf16 / 272.0 -> 278.4 int8
-    # at B=256, and B=512 fits (plateaus — see PERFORMANCE.md batch sweep)
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x,
-        params,
-    )
+    # bf16-RESIDENT weights: 265.6 -> 268.3 bf16 / 272.0 -> 278.4 int8 at
+    # B=256, and B=512 fits (plateaus — see PERFORMANCE.md batch sweep)
+    params = make_serving_params(params)
     jax.block_until_ready(params)
 
     @jax.jit
@@ -261,6 +257,34 @@ def main() -> None:
         p50_ms_int8 = round(p50_8 * 1e3, 1)
         print(f"p50 int8 latency: {p50_ms_int8}ms", file=sys.stderr)
 
+    # -- long-context rows: the reference names max_length 128 as its
+    # intended scale-up (README.md:112).  The v3 DMA kernel's win region is
+    # widest here (4x the XLA chain at 128 — PERFORMANCE.md), so the driver
+    # records these to catch kernel regressions.  BENCH_SKIP_LONGCTX=1 skips.
+    long_ctx = {}
+    if os.environ.get("BENCH_SKIP_LONGCTX", "") != "1":
+        for mlen, lbatch in ((128, 256), (256, 128)):  # 256@B=256 OOMs HBM
+            @jax.jit
+            def caption_long(params, images_u8, _mlen=mlen):
+                pixels = maybe_preprocess(
+                    images_u8, config.vision.image_size, model.dtype
+                )
+                return model.generate(
+                    params, pixels,
+                    max_length=_mlen, num_beams=NUM_BEAMS,
+                    forced_bos_token_id=250004,
+                ).sequences
+
+            lb = make_batches(lbatch, 3)
+            np.asarray(caption_long(params, lb[0]))
+            dtl = _measure(caption_long, params, lb[1:], 2)
+            long_ctx[f"captions_per_sec_len{mlen}"] = round(lbatch / dtl, 2)
+            print(
+                f"len={mlen} batch={lbatch}: step={dtl*1e3:.1f}ms "
+                f"({lbatch/dtl:.1f}/s)",
+                file=sys.stderr,
+            )
+
     # -- pretrain samples/sec/chip (device step only) -------------------------
     train_rate = None
     if not SKIP_TRAIN:
@@ -279,6 +303,7 @@ def main() -> None:
         out["p50_latency_ms_int8"] = p50_ms_int8
     if int8_per_chip is not None:
         out["captions_per_sec_int8_weights"] = int8_per_chip
+    out.update(long_ctx)
     if train_rate is not None:
         out["train_samples_per_sec_per_chip"] = round(train_rate, 1)
     print(json.dumps(out))

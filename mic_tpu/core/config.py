@@ -164,6 +164,9 @@ class GenerationConfig(_JsonMixin):
     decoder_start_token_id: int | None = None  # falls back to DecoderConfig
     forced_bos_token_id: int | None = None
     forced_eos_token_id: int | None = 2
+    # ban tokens that would repeat an n-gram already generated (reference
+    # surface: generation_clip_vision_utils.py:369-388); 0 disables
+    no_repeat_ngram_size: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -271,6 +274,7 @@ class CaptionerConfig(_JsonMixin):
             decoder_start_token_id=mb.get("decoder_start_token_id"),
             forced_bos_token_id=mb.get("forced_bos_token_id"),
             forced_eos_token_id=mb.get("forced_eos_token_id", 2),
+            no_repeat_ngram_size=mb.get("no_repeat_ngram_size", 0),
         )
         return cls(
             vision=vision,

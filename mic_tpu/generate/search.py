@@ -115,6 +115,7 @@ class ProcessorSpec(NamedTuple):
     forced: tuple[tuple[int, int], ...] = ()  # (position, token_id)
     min_length: int = 0
     eos_token_id: int = 2
+    no_repeat_ngram: int = 0  # 0 disables
 
     def forced_token_at(self, cur_len: jnp.ndarray) -> jnp.ndarray:
         """-1 when no token is forced at this position."""
@@ -122,6 +123,68 @@ class ProcessorSpec(NamedTuple):
         for pos, tid in self.forced:
             tok = jnp.where(cur_len == pos, tid, tok)
         return tok
+
+
+def _ngram_windows(seqs: jnp.ndarray, cur_len: jnp.ndarray, n: int):
+    """All complete n-gram windows of each row's generated prefix.
+
+    seqs (N, T) int32 (position 0 = start token, positions >= cur_len are
+    pad), scalar cur_len, static n >= 2 -> (match (N, W), next_tok (N, W))
+    with W = T - n + 1: match[i, t] is True iff the window starting at t is
+    fully inside the generated prefix AND its first n-1 tokens equal the
+    row's LAST n-1 generated tokens; next_tok[i, t] is the token that
+    completed that window.  Emitting next_tok[i, t] where match[i, t] would
+    repeat an n-gram — the HF NoRepeatNGramLogitsProcessor semantics the
+    reference's generate surface accepts
+    (generation_clip_vision_utils.py:369-388), computed with static shapes
+    for the decode while_loop (no per-row Python n-gram dicts)."""
+    nrow, t = seqs.shape
+    w = t - n + 1
+    # the row's last n-1 generated tokens; dynamic_slice clamps at 0 when
+    # cur_len < n-1, where the window-validity mask below is empty anyway
+    pref = jax.lax.dynamic_slice(
+        seqs, (jnp.zeros((), jnp.int32), cur_len - (n - 1)), (nrow, n - 1)
+    )
+    match = jnp.ones((nrow, w), jnp.bool_)
+    for j in range(n - 1):
+        match &= seqs[:, j : j + w] == pref[:, j : j + 1]
+    # a window starting at t is a complete PREVIOUS n-gram iff its last
+    # token (t + n - 1) was generated before the current position
+    match &= jnp.arange(w)[None, :] + n - 1 <= cur_len - 1
+    return match, seqs[:, n - 1 : n - 1 + w]
+
+
+def _ngram_ban_candidates(
+    cand_lp: jnp.ndarray,   # (N, k) f32
+    cand_ids: jnp.ndarray,  # (N, k) i32
+    seqs: jnp.ndarray,      # (N, T) rows aligned with the candidates
+    cur_len: jnp.ndarray,
+    n: int,
+) -> jnp.ndarray:
+    """Candidate-space no-repeat-ngram: NEG_INF any candidate that would
+    complete an already-generated n-gram.  Exact whenever the banned tokens
+    of a row lie inside its top-k candidates (k is widened by the callers
+    when the ban is active); a banned token outside the candidate set was
+    never selectable anyway."""
+    match, nxt = _ngram_windows(seqs, cur_len, n)
+    banned = jnp.any(
+        match[:, None, :] & (nxt[:, None, :] == cand_ids[:, :, None]), axis=-1
+    )
+    return jnp.where(banned, NEG_INF, cand_lp)
+
+
+def _ngram_ban_dense(
+    log_probs: jnp.ndarray,  # (N, V)
+    seqs: jnp.ndarray,       # (N, T)
+    cur_len: jnp.ndarray,
+    n: int,
+) -> jnp.ndarray:
+    """Dense-vocab no-repeat-ngram (sampling path): scatter-min NEG_INF at
+    every banned completion token."""
+    match, nxt = _ngram_windows(seqs, cur_len, n)
+    rows = jnp.arange(log_probs.shape[0])[:, None]
+    vals = jnp.where(match, NEG_INF, jnp.inf).astype(log_probs.dtype)
+    return log_probs.at[rows, nxt].min(vals)
 
 
 class GenerateOutput(NamedTuple):
@@ -140,11 +203,25 @@ def _candidates(
     cur_len: jnp.ndarray,
     spec: ProcessorSpec,
     head: Optional[CandidateHead] = None,
+    seqs: Optional[jnp.ndarray] = None,  # (N, T) — no_repeat_ngram only
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k candidate (log_probs (N,k), token_ids (N,k)) per row, honoring
-    forced tokens (cond branch, no top-k) and min-length EOS blocking."""
+    forced tokens (cond branch, no top-k), min-length EOS blocking, and
+    no-repeat-ngram banning (candidate-space — see _ngram_ban_candidates)."""
     n = logits.shape[0]
     forced_tok = spec.forced_token_at(cur_len)
+
+    def _post(cand_lp, cand_ids):
+        if spec.min_length > 0:
+            blocked = (cur_len < spec.min_length) & (
+                cand_ids == spec.eos_token_id
+            )
+            cand_lp = jnp.where(blocked, NEG_INF, cand_lp)
+        if spec.no_repeat_ngram > 0 and seqs is not None:
+            cand_lp = _ngram_ban_candidates(
+                cand_lp, cand_ids, seqs, cur_len, spec.no_repeat_ngram
+            )
+        return cand_lp, cand_ids
 
     if head is not None:
         def normal_h(_):
@@ -166,12 +243,7 @@ def _candidates(
             )
         else:
             cand_lp, cand_ids = normal_h(None)
-        if spec.min_length > 0:
-            blocked = (cur_len < spec.min_length) & (
-                cand_ids == spec.eos_token_id
-            )
-            cand_lp = jnp.where(blocked, NEG_INF, cand_lp)
-        return cand_lp, cand_ids
+        return _post(cand_lp, cand_ids)
 
     mode = _topk_mode()
 
@@ -216,10 +288,7 @@ def _candidates(
         )
     else:
         cand_lp, cand_ids = normal(None)
-    if spec.min_length > 0:
-        blocked = (cur_len < spec.min_length) & (cand_ids == spec.eos_token_id)
-        cand_lp = jnp.where(blocked, NEG_INF, cand_lp)
-    return cand_lp, cand_ids.astype(jnp.int32)
+    return _post(cand_lp, cand_ids.astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -305,20 +374,28 @@ def _sequential_search(
         logits, cache = step_fn(prev, s.cache)
         if do_sample:
             log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            lp = _apply_spec_dense(log_probs, s.cur_len, spec)
+            lp = _apply_spec_dense(log_probs, s.cur_len, spec, s.sequences)
             warped = warpers(lp, s.cur_len)
             rng, key = jax.random.split(s.rng)
             token = jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
             token_score = jnp.take_along_axis(lp, token[:, None], axis=-1)[:, 0]
         else:
             rng = s.rng
-            # top-2 candidates: enough to skip EOS under min_length
-            cand_lp, cand_ids = _candidates(logits, 2, s.cur_len, spec, head)
-            token = cand_ids[:, 0]
-            token_score = cand_lp[:, 0]
-            pick_second = cand_lp[:, 0] <= NEG_INF / 2
-            token = jnp.where(pick_second, cand_ids[:, 1], token)
-            token_score = jnp.where(pick_second, cand_lp[:, 1], token_score)
+            # top-2 candidates: enough to skip EOS under min_length; widened
+            # when no-repeat-ngram banning can knock out more of the head
+            kg = 2 if spec.no_repeat_ngram == 0 else min(
+                8, head.vocab_size if head is not None else logits.shape[-1]
+            )
+            cand_lp, cand_ids = _candidates(
+                logits, kg, s.cur_len, spec, head, seqs=s.sequences
+            )
+            # candidates arrive best-first; bans set NEG_INF, so argmax picks
+            # the best surviving candidate
+            pick = jnp.argmax(cand_lp, axis=-1)
+            token = jnp.take_along_axis(cand_ids, pick[:, None], axis=-1)[:, 0]
+            token_score = jnp.take_along_axis(
+                cand_lp, pick[:, None], axis=-1
+            )[:, 0]
         token = jnp.where(s.is_finished, pad_token_id, token).astype(jnp.int32)
         scores = s.scores + jnp.where(s.is_finished, 0.0, token_score)
         sequences = jax.lax.dynamic_update_slice(
@@ -333,8 +410,12 @@ def _sequential_search(
     return GenerateOutput(sequences=state.sequences, scores=state.scores)
 
 
-def _apply_spec_dense(log_probs, cur_len, spec: ProcessorSpec):
+def _apply_spec_dense(log_probs, cur_len, spec: ProcessorSpec, seqs=None):
     """Dense-vocab application of the spec (sampling path only)."""
+    if spec.no_repeat_ngram > 0 and seqs is not None:
+        log_probs = _ngram_ban_dense(
+            log_probs, seqs, cur_len, spec.no_repeat_ngram
+        )
     forced_tok = spec.forced_token_at(cur_len)
     if spec.forced:
         def force(lp):
@@ -436,9 +517,13 @@ def _beam_search(
         vocab = head.vocab_size if head is not None else logits.shape[-1]
 
         # per-beam candidates in the natural (B*K, V) layout; 2K+1 so that
-        # min-length EOS filtering still leaves 2K viable candidates
-        kc = min(2 * K + 1, vocab)
-        cand_lp, cand_ids = _candidates(logits, kc, s.cur_len, spec, head)
+        # min-length EOS filtering still leaves 2K viable candidates (plus
+        # slack when no-repeat-ngram banning can knock out more of the pool)
+        kc = min(2 * K + 1 + (4 if spec.no_repeat_ngram else 0), vocab)
+        cand_lp, cand_ids = _candidates(
+            logits, kc, s.cur_len, spec, head,
+            seqs=s.running_sequences.reshape(B * K, -1),
+        )
         cand_total = cand_lp + s.running_scores.reshape(B * K, 1)
 
         # global 2K candidates per batch group from the tiny K*kc pool

@@ -274,18 +274,21 @@ class Captioner:
     def init_decode_cache(
         self, params: Params, enc_states: jnp.ndarray, max_length: int,
         beams: int = 1, lazy: bool = False, kv_quant: Optional[str] = None,
-        merged: bool = False,
+        merged: bool = False, merged_cross: bool = False,
     ) -> DecoderCache:
         """enc_states is TRUE-batch (B, S, D): the cross-attention cache keeps
         one K/V copy per image; only the self-attention cache is per-beam.
         With lazy=True, returns a LazyDecoderCache (ancestry-tracked beam
         reordering — no physical cache permute per step); merged=True stores
         its self K/V head-dims-merged for the fused Pallas attention kernel
-        (see nn/cache.py init_lazy_cache)."""
+        (see nn/cache.py init_lazy_cache); merged_cross=True stores the cross
+        K/V head-dims-merged for the fused cross-attention kernel
+        (lane-padding-free reads — see mbart_decoder.init_cross_cache)."""
         cfg = self.config.decoder
         batch, enc_len = enc_states.shape[0], enc_states.shape[1]
         cross_k, cross_v = mbart_decoder.init_cross_cache(
-            params["decoder"], enc_states, cfg, self.dtype
+            params["decoder"], enc_states, cfg, self.dtype,
+            merged=merged_cross,
         )
         if lazy:
             empty = init_lazy_cache(
@@ -302,12 +305,12 @@ class Captioner:
 
     def decode_step(
         self, params: Params, token_ids: jnp.ndarray, cache: DecoderCache,
-        beams: int = 1,
+        beams: int = 1, enc_len: "int | None" = None,
     ):
         """(B*beams, 1) tokens + cache -> ((B*beams, vocab) logits, cache)."""
         hidden, cache = mbart_decoder.decoder_step(
             params["decoder"], params["shared"], token_ids, cache,
-            self.config.decoder, self.dtype, beams=beams,
+            self.config.decoder, self.dtype, beams=beams, enc_len=enc_len,
         )
         return self.lm_logits(params, hidden)[:, 0, :], cache
 
@@ -366,6 +369,7 @@ class Captioner:
             params = quantize_params_for_decode(params)
 
         enc_states = self.encode(params, pixel_values)  # true batch: no repeat
+        enc_len = enc_states.shape[1]  # pre-padding length (merged cross cache)
         # Beam search defaults to the lazy (ancestry-masked) cache: no
         # physical beam permute and one in-place cache column write per layer
         # instead of double-buffering the whole cache through the layer scan.
@@ -441,10 +445,23 @@ class Captioner:
                 and not mbart_decoder._attn_buckets(gen.max_length)
             )
         )
+        # Merged (B, S, H*Dh) CROSS cache -> the fused cross-attention kernel
+        # (ops/cross_attention.py), opt-in via MIC_TPU_MERGED_CROSS=1
+        # (interpret-mode off-TPU — CPU equivalence tests).  MEASURED
+        # NEGATIVE as a default at the flagship shape (231.3 vs 277.0
+        # captions/s/chip at B=256, round 4): the in-model XLA score/out
+        # fusions already run at ~78 us/layer — the UNPADDED 52 MB/layer
+        # stream bound, i.e. XLA's layout assignment avoids the (16, 64) ->
+        # (16, 128) lane pad here (as it does for the self cache) — while
+        # the kernel's per-image (50, HD) tiles stay MXU-pipeline-bound
+        # (~1.0 ms/layer standalone at any grouping G in {4, 8, 16}).  Kept
+        # for hypothetically larger encoders, where S in the hundreds fills
+        # the MXU pipeline.
+        merged_cross = lazy and os.environ.get("MIC_TPU_MERGED_CROSS") == "1"
         cache = self.init_decode_cache(
             params, enc_states, first_len, beams=gen.num_beams, lazy=lazy,
             kv_quant=kv_quant if lazy else None,  # quant KV is lazy-path only
-            merged=merged,
+            merged=merged, merged_cross=merged_cross,
         )
 
         # Fused LM head (ops/fused_head.py): step_fn returns HIDDEN states
@@ -542,6 +559,7 @@ class Captioner:
                 hidden, cache = mbart_decoder.decoder_step(
                     params["decoder"], params["shared"], token_ids, cache,
                     self.config.decoder, self.dtype, beams=gen.num_beams,
+                    enc_len=enc_len,
                 )
                 return hidden[:, 0, :], cache
 
@@ -563,7 +581,8 @@ class Captioner:
 
             def step_fn(token_ids, cache):
                 return self.decode_step(
-                    params, token_ids, cache, beams=gen.num_beams
+                    params, token_ids, cache, beams=gen.num_beams,
+                    enc_len=enc_len,
                 )
 
         forced = []
@@ -575,6 +594,7 @@ class Captioner:
             forced=tuple(forced),
             min_length=gen.min_length,
             eos_token_id=dec.eos_token_id,
+            no_repeat_ngram=gen.no_repeat_ngram_size,
         )
         warpers = build_warpers(
             temperature=gen.temperature, top_k=gen.top_k, top_p=gen.top_p

@@ -265,20 +265,39 @@ def _site(rng: Optional[jax.Array], site: int) -> Optional[jax.Array]:
 
 
 def init_cross_cache(
-    params: Params, enc_states: jnp.ndarray, cfg: DecoderConfig, dtype=jnp.float32
+    params: Params, enc_states: jnp.ndarray, cfg: DecoderConfig,
+    dtype=jnp.float32, merged: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Project encoder states into every layer's cross-attn K/V once.
 
-    Returns (cross_k, cross_v), each (L, B, S, H, Dh).  The reference re-ran
-    these projections every decode step (HF FlaxMBartAttention inside the
-    while_loop) — here they are hoisted out of the loop entirely.
+    Returns (cross_k, cross_v), each (L, B, S, H, Dh) — or head-dims-MERGED
+    (L, B, S, H*Dh) with ``merged=True``: XLA lane-pads a stored trailing
+    (H=16, Dh=64) dim pair to (16, 128), so the canonical layout physically
+    reads 2x its logical bytes per decode step (104 vs 52 MB/layer at B=256,
+    profiled); the merged layout is padding-free and is what the fused
+    cross-attention kernel (ops/cross_attention.py) consumes directly.  The
+    reference re-ran these projections every decode step (HF
+    FlaxMBartAttention inside the while_loop) — here they are hoisted out of
+    the loop entirely.
     """
     enc_states = enc_states.astype(dtype)
 
     def one_layer(layer_params):
         return project_kv(layer_params["cross_attn"], enc_states, cfg.num_heads)
 
-    return jax.vmap(one_layer)(params["layers"])
+    k, v = jax.vmap(one_layer)(params["layers"])
+    if merged:
+        l, b, s = k.shape[:3]
+        k = k.reshape(l, b, s, -1)
+        v = v.reshape(l, b, s, -1)
+        # the DMA kernel's scratch/DMA tiles are bf16 (16, 128) — pad the
+        # encoder axis to a 16 multiple once at init; padded rows are ZEROS
+        # and masked live < enc_len in-kernel
+        pad = (-s) % 16
+        if pad:
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return k, v
 
 
 def _decoder_step_fused(
@@ -371,6 +390,7 @@ def _decoder_step_lazy(
     dtype,
     enc_mask: Optional[jnp.ndarray],
     beams: int,
+    enc_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, LazyDecoderCache]:
     """decoder_step on a LazyDecoderCache: no physical beam reorder, one
     in-place cache-column write per layer.
@@ -475,6 +495,7 @@ def _decoder_step_lazy(
         x = mha_cross_grouped(
             p["cross_attn"], x, cache.cross_k[l], cache.cross_v[l],
             cross_mask, cfg.num_heads, beams, kernel=cross_kernel,
+            enc_len=enc_len,
         )
         x = r + x
         if post:
@@ -514,6 +535,7 @@ def decoder_step(
     dtype=jnp.float32,
     enc_mask: Optional[jnp.ndarray] = None,  # (B, S) or None (true batch B)
     beams: int = 1,
+    enc_len: Optional[int] = None,  # live length of a merged padded cross cache
 ) -> Tuple[jnp.ndarray, DecoderCache]:
     """One cached decode step -> (hidden (B*beams, 1, d_model), updated cache).
 
@@ -522,7 +544,8 @@ def decoder_step(
     attention (mic_tpu/nn/attention.py mha_cross_grouped)."""
     if isinstance(cache, LazyDecoderCache):
         return _decoder_step_lazy(
-            params, shared, token_ids, cache, cfg, dtype, enc_mask, beams
+            params, shared, token_ids, cache, cfg, dtype, enc_mask, beams,
+            enc_len=enc_len,
         )
     if _FUSED_DECODE:
         return _decoder_step_fused(

@@ -82,33 +82,53 @@ def mha_with_kv(
 def mha_cross_grouped(
     params: Params,
     x: jnp.ndarray,          # (B*beams, 1, D) current-step hidden states
-    k: jnp.ndarray,          # (B, S, H, Dh) — ONE copy per image, not per beam
-    v: jnp.ndarray,
+    k: jnp.ndarray,          # (B, S, H, Dh) — ONE copy per image, not per
+    v: jnp.ndarray,          # beam — or head-dims-MERGED (B, S, H*Dh)
     mask: Optional[jnp.ndarray],  # (B, 1, 1, S) or None
     num_heads: int,
     beams: int,
-    kernel: bool = False,    # opt-in fused Pallas path (mask=None only)
+    kernel: bool = False,    # force the fused Pallas path (mask=None only)
+    enc_len: Optional[int] = None,  # live encoder length (merged padded K/V)
 ) -> jnp.ndarray:
     """Beam-grouped cached cross-attention: all of an image's beams share the
     same encoder K/V, so the cache stores them once per image and the beams
     ride the query axis.  Cuts cross-KV HBM reads by the beam factor per step
     (~1 GB/step at the flagship beam-4 config).
 
-    kernel=True routes through ops/cross_attention.py (MEASURED NEGATIVE at
-    the flagship shape — 0.53 vs 0.37 ms/layer, the S=50 per-image tiles are
-    too small for the MXU pipeline; see PERFORMANCE.md — kept opt-in via
-    MIC_TPU_FUSED_CROSS_ATTN=1 for larger-encoder configs)."""
+    MERGED (B, S_pad, H*Dh) K/V (8-aligned-padded, zeros past ``enc_len``)
+    route through the manual-DMA fused kernel (ops/cross_attention.py
+    fused_cross_attention_dma): the canonical 4-dim layout lane-pads
+    (16, 64) -> (16, 128) in HBM, so the XLA chain physically reads 2x its
+    logical cross-cache bytes per step (104 vs 52 MB/layer at B=256,
+    profiled); the kernel reads the merged layout unpadded with the v3
+    lazy-attention kernel's double-buffered DMA structure.  Storage choice
+    is made once per generate (captioner.py); the merged layout implies the
+    kernel."""
     bk, one, d = x.shape
     head_dim = d // num_heads
     b = k.shape[0]
     q = dense(params["q"], x) * (head_dim**-0.5)
+    if k.ndim == 3 and mask is None:
+        from mic_tpu.ops.cross_attention import fused_cross_attention_dma
+
+        out = fused_cross_attention_dma(
+            q.reshape(b, (bk // b) * one, d), k, v,
+            enc_len if enc_len is not None else k.shape[1],
+            (bk // b) * one, num_heads,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return dense(params["o"], out.reshape(bk, one, d))
     if kernel and mask is None:
         from mic_tpu.ops.cross_attention import fused_cross_attention
 
         out = fused_cross_attention(
-            q.reshape(b, (bk // b) * one, d), k, v, (bk // b) * one, num_heads
+            q.reshape(b, (bk // b) * one, d), k, v, (bk // b) * one, num_heads,
+            interpret=jax.default_backend() != "tpu",
         )
         return dense(params["o"], out.reshape(bk, one, d))
+    if k.ndim == 3:  # merged storage without the kernel (masked fallback)
+        k = k.reshape(b, -1, num_heads, head_dim)
+        v = v.reshape(b, -1, num_heads, head_dim)
     q = q.reshape(b, (bk // b) * one, num_heads, head_dim)      # (B, K, H, Dh)
     scores = jnp.einsum(
         "bkhd,bshd->bhks", q, k, preferred_element_type=jnp.float32

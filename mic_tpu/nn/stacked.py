@@ -61,6 +61,21 @@ def scan_apply(
         elif remat not in (True, "full"):
             raise ValueError(f"unknown remat policy: {remat!r}")
         scan_body = jax.checkpoint(scan_body, prevent_cse=False, policy=policy)
+    # MIC_TPU_UNROLL_LAYERS=1: apply the layers as a Python loop over STATIC
+    # param slices instead of lax.scan.  Compiles the body L times (slower
+    # build) but frees XLA from the scan backward's structural costs — the
+    # per-layer grad-slab dynamic-update-slices and the xs->ys cache
+    # double-buffering become static-index updates it can fuse.  Experiment
+    # knob for the train step (PERFORMANCE.md train budget).
+    if os.environ.get("MIC_TPU_UNROLL_LAYERS") == "1":
+        ys_all = []
+        for l in range(L):
+            xs_l = jax.tree.map(
+                lambda a, _l=l: a[_l], (stacked_params, idxs, per_layer_xs)
+            )
+            h, ys = scan_body(h, xs_l)
+            ys_all.append(ys)
+        return h, jax.tree.map(lambda *a: jnp.stack(a), *ys_all)
     # _split_transpose splits the scan's backward into a separate loop, which
     # can change how XLA lays out the per-layer grad-slab updates; measured
     # experiment knob (see PERFORMANCE.md train budget: grad-stack DUS row)

@@ -41,28 +41,196 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mic_tpu.ops.lazy_attention import _attend_tiles
+import os
+
+from mic_tpu.ops.lazy_attention import _attend_tiles, _tile_consts
 
 
-def _kernel_bf16(beams, heads, head_dim, k_ref, v_ref, q_ref, o_ref):
-    o_ref[0] = _attend_tiles(
-        k_ref[0], v_ref[0], q_ref[0], None, None, None, None, None,
-        beams, heads, head_dim, o_ref.dtype,
-    )
+def _cross_group(batch: int) -> int:
+    """Images per grid cell.  The round-2 single-image kernel lost to XLA
+    (0.526 vs 0.367 ms/layer at B=128) almost entirely on per-cell fixed
+    overhead (~0.65 us measured for the lazy-attention kernel — at B=256
+    that is ~0.17 ms/layer of pure grid overhead); grouping G images per
+    cell with the constant masks hoisted amortizes it the same way the v3
+    DMA kernel's G=8 ladder does.  MIC_TPU_CROSS_G overrides."""
+    raw = os.environ.get("MIC_TPU_CROSS_G")
+    if raw:
+        try:
+            g = int(raw)
+        except ValueError:
+            g = 0
+        if g > 0 and batch % g == 0:
+            return g
+    for g in (16, 8, 4, 2, 1):
+        if batch % g == 0:
+            return g
+    return 1
 
 
-def _kernel_q8(beams, heads, head_dim,
+def _kernel_bf16(G, beams, heads, head_dim, k_ref, v_ref, q_ref, o_ref):
+    consts = _tile_consts(beams, heads, head_dim)
+    for g in range(G):
+        o_ref[g] = _attend_tiles(
+            k_ref[g], v_ref[g], q_ref[g], None, None, None, None, None,
+            beams, heads, head_dim, o_ref.dtype, consts,
+        )
+
+
+def _kernel_q8(G, beams, heads, head_dim,
                k_ref, ks_ref, v_ref, vs_ref, q_ref, o_ref):
-    o_ref[0] = _attend_tiles(
-        k_ref[0].astype(jnp.bfloat16), v_ref[0].astype(jnp.bfloat16),
-        q_ref[0], None, None, None, ks_ref[0], vs_ref[0],
-        beams, heads, head_dim, o_ref.dtype,
-    )
+    consts = _tile_consts(beams, heads, head_dim)
+    for g in range(G):
+        o_ref[g] = _attend_tiles(
+            k_ref[g].astype(jnp.bfloat16), v_ref[g].astype(jnp.bfloat16),
+            q_ref[g], None, None, None, ks_ref[g], vs_ref[g],
+            beams, heads, head_dim, o_ref.dtype, consts,
+        )
 
 
 def supports(num_heads: int, head_dim: int) -> bool:
     """The kernel wants the merged lane dim (H*Dh) 128-aligned."""
     return (num_heads * head_dim) % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# v2: manual-DMA cross-attention kernel.
+#
+# The blocked-pipeline kernel above moves its (G, S, HD) K/V blocks at only
+# ~48 GB/s at the flagship shape (measured ~1.0 ms/layer for a 52 MB stream,
+# any G in {4, 8, 16}) — the auto-pipelined 50-sublane blocks never reach
+# stream rate.  This variant drives the stream with the same explicit
+# double-buffered DMA structure as the v3 lazy-attention kernel
+# (ops/lazy_attention.py): grid cells run sequentially, cell i computes from
+# scratch slot i%2 while cell i+1's planes stream into the other slot, one
+# contiguous (G*S_pad, HD) DMA per plane per cell.
+#
+# The encoder axis is PADDED to a multiple of 8 (in-kernel sublane slices
+# must be 8-aligned): padded K/V rows are zeros, and a constant liveness
+# mask (iota < real_s) rides the existing ancestry-mask slot of
+# _attend_tiles, so padded positions contribute exp(NEG) == 0 to the
+# softmax — bit-exact vs the unpadded math.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_cross_dma(G, beams, heads, head_dim, real_s,
+                      k_hbm, v_hbm, q_ref, o_ref, kbuf, vbuf, ksem, vsem):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    s_pad, hd = kbuf.shape[2], kbuf.shape[3]
+
+    def start(cell, slot):
+        pltpu.make_async_copy(
+            k_hbm.at[pl.ds(cell * G, G)], kbuf.at[slot], ksem.at[slot]
+        ).start()
+        pltpu.make_async_copy(
+            v_hbm.at[pl.ds(cell * G, G)], vbuf.at[slot], vsem.at[slot]
+        ).start()
+
+    def wait(cell, slot):
+        pltpu.make_async_copy(
+            k_hbm.at[pl.ds(cell * G, G)], kbuf.at[slot], ksem.at[slot]
+        ).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[pl.ds(cell * G, G)], vbuf.at[slot], vsem.at[slot]
+        ).wait()
+
+    @pl.when(i == 0)
+    def _first():
+        start(0, 0)
+
+    @pl.when(i + 1 < n)
+    def _prefetch():
+        start(i + 1, (i + 1) % 2)
+
+    slot = i % 2
+    wait(i, slot)
+
+    consts = _tile_consts(beams, heads, head_dim)
+    if real_s == s_pad:
+        am = None
+    else:
+        # liveness mask over the padded encoder rows (int8, the
+        # _attend_tiles mask convention): row s live iff s < real_s
+        am = (
+            jax.lax.broadcasted_iota(jnp.int32, (s_pad, beams), 0) < real_s
+        ).astype(jnp.int8)
+    for g in range(G):
+        o_ref[g] = _attend_tiles(
+            kbuf[slot, g], vbuf[slot, g], q_ref[g], None, None, am,
+            None, None, beams, heads, head_dim, o_ref.dtype, consts,
+        )
+
+
+def _cross_dma_group(batch: int, per_image_bytes: int) -> int:
+    """Images per grid cell for the DMA kernel (cf. lazy_attention._dma_group;
+    the cross planes are small, so the ladder reaches higher).
+    MIC_TPU_CROSS_G overrides."""
+    raw = os.environ.get("MIC_TPU_CROSS_G")
+    if raw:
+        try:
+            g = int(raw)
+        except ValueError:
+            g = 0
+        if g > 0 and batch % g == 0:
+            return g
+    for g in (32, 16, 8, 4, 2, 1):
+        if batch % g == 0 and g * per_image_bytes <= 4 * 1024 * 1024:
+            return g
+    return 1
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def fused_cross_attention_dma(
+    q: jnp.ndarray,        # (B, K, HD) — query, already head_dim**-0.5-scaled
+    enc_k: jnp.ndarray,    # (B, S_pad, HD) bf16, MERGED + 8-aligned-padded
+    enc_v: jnp.ndarray,    # (padded rows must be zeros)
+    real_s: int,           # live encoder length (<= S_pad)
+    beams: int,
+    num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """-> (B, K, HD): mha_cross_grouped's exact math (mask=None) with the
+    K/V stream driven by explicit double-buffered DMA."""
+    b, k, hd = q.shape
+    head_dim = hd // num_heads
+    s_pad = enc_k.shape[1]
+    if s_pad % 16 != 0:
+        raise ValueError(f"S_pad must be 16-aligned (bf16 tile), got {s_pad}")
+    G = _cross_dma_group(b, s_pad * hd * 2)
+
+    kern = functools.partial(
+        _kernel_cross_dma, G, k, num_heads, head_dim, real_s
+    )
+    blk = lambda shape: pl.BlockSpec(  # noqa: E731
+        (G,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    any_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+
+    scratch = 2 * 2 * G * s_pad * hd * 2
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=max(scratch + 8 * 1024 * 1024, 16 * 1024 * 1024)
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b // G,),
+        in_specs=[any_spec, any_spec, blk((k, hd))],
+        out_specs=blk((k, hd)),
+        out_shape=jax.ShapeDtypeStruct((b, k, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, G, s_pad, hd), enc_k.dtype),
+            pltpu.VMEM((2, G, s_pad, hd), enc_v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * 2 * (2 * s_pad * hd * k * num_heads),
+            bytes_accessed=b * 2 * 2 * s_pad * hd,
+            transcendentals=b * s_pad * k * num_heads,
+        ),
+    )(enc_k, enc_v, q.astype(jnp.bfloat16))
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
@@ -91,11 +259,12 @@ def fused_cross_attention(
         k2, v2 = merge(enc_k), merge(enc_v)
     s = k2.shape[1]
 
+    G = _cross_group(b)
     kern = functools.partial(
-        _kernel_q8 if quant else _kernel_bf16, k, num_heads, head_dim
+        _kernel_q8 if quant else _kernel_bf16, G, k, num_heads, head_dim
     )
     row_spec = lambda shape: pl.BlockSpec(  # noqa: E731
-        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        (G,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM,
     )
     in_specs = [row_spec((s, hd))]
@@ -114,7 +283,7 @@ def fused_cross_attention(
     kv_bytes = (1 if quant else 2) * 2 * s * hd
     return pl.pallas_call(
         kern,
-        grid=(b,),
+        grid=(b // G,),
         in_specs=in_specs,
         out_specs=row_spec((k, hd)),
         out_shape=jax.ShapeDtypeStruct((b, k, hd), q.dtype),

@@ -257,6 +257,25 @@ def test_merged_kv_layout_matches_canonical(setup, monkeypatch):
 
 
 @pytest.mark.slow
+def test_merged_cross_cache_matches_canonical(setup, monkeypatch):
+    """The merged (L, B, S, H*Dh) CROSS cache + fused cross-attention kernel
+    (the TPU beam default — lane-padding-free reads) must match the canonical
+    (L, B, S, H, Dh) XLA chain through a full generate.  Off-TPU the kernel
+    runs in interpret mode, so the exact kernel program is what's tested."""
+    model, params, px = setup
+    monkeypatch.setenv("MIC_TPU_MERGED_CROSS", "1")
+    merged = model.generate(params, px, max_length=8, num_beams=4)
+    monkeypatch.setenv("MIC_TPU_MERGED_CROSS", "0")
+    canon = model.generate(params, px, max_length=8, num_beams=4)
+    np.testing.assert_array_equal(
+        np.asarray(merged.sequences), np.asarray(canon.sequences)
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged.scores), np.asarray(canon.scores), rtol=1e-4
+    )
+
+
+@pytest.mark.slow
 def test_bucketed_attention_reads_match_full_window(setup, monkeypatch):
     """Prefix-bucketed cache reads (MIC_TPU_ATTN_BUCKETS) must be
     bit-identical to full-window reads: masked tail positions contribute
@@ -272,3 +291,114 @@ def test_bucketed_attention_reads_match_full_window(setup, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(bucketed.scores), np.asarray(full.scores)
     )
+
+
+# ---------------------------------------------------------------------------
+# no_repeat_ngram_size (reference surface:
+# generation_clip_vision_utils.py:369-388 — HF NoRepeatNGram semantics)
+
+
+def _py_banned(tokens, n):
+    """HF NoRepeatNGramLogitsProcessor oracle: tokens = full sequence so far
+    (start token included); returns the set of banned next tokens."""
+    if len(tokens) + 1 < n:
+        return set()
+    prefix = tuple(tokens[len(tokens) - (n - 1):])
+    banned = set()
+    for t in range(len(tokens) - n + 1):
+        if tuple(tokens[t:t + n - 1]) == prefix:
+            banned.add(tokens[t + n - 1])
+    return banned
+
+
+def test_ngram_windows_matches_python_oracle():
+    from mic_tpu.generate.search import _ngram_windows
+
+    rng = np.random.default_rng(11)
+    T = 12
+    for n in (2, 3, 4):
+        seqs = rng.integers(0, 4, size=(6, T)).astype(np.int32)
+        for cur_len in (1, 2, n - 1, n, 5, T - 1):
+            match, nxt = _ngram_windows(
+                jnp.asarray(seqs), jnp.asarray(cur_len, jnp.int32), n
+            )
+            match, nxt = np.asarray(match), np.asarray(nxt)
+            for i in range(seqs.shape[0]):
+                got = set(nxt[i, match[i]].tolist())
+                want = _py_banned(seqs[i, :cur_len].tolist(), n)
+                assert got == want, (n, cur_len, i, got, want)
+
+
+def test_greedy_no_repeat_ngram_matches_python_loop(setup):
+    """generate(num_beams=1, no_repeat_ngram_size=2) == a host-side greedy
+    loop over teacher-forced log-probs with the HF oracle ban set."""
+    model, params, px = setup
+    dec = model.config.decoder
+    maxlen = 10
+    out = model.generate(
+        params, px, max_length=maxlen, num_beams=1, no_repeat_ngram_size=2,
+        forced_eos_token_id=None,
+    )
+    got = np.asarray(out.sequences)
+
+    enc = model.encode(params, px)
+    for i in range(px.shape[0]):
+        toks = [dec.decoder_start_token_id]
+        while len(toks) < maxlen:
+            seq = np.full((1, maxlen), dec.pad_token_id, np.int32)
+            seq[0, : len(toks)] = toks
+            lp = all_log_probs(
+                model, enc[i : i + 1], None, seq
+            ) if False else None
+            # teacher-forced next-token log-probs at the last position
+            logits = model.decode_train(
+                params, enc[i : i + 1], jnp.asarray(seq),
+                jnp.ones((1, maxlen), jnp.int32),
+            )
+            row = np.asarray(
+                jax.nn.log_softmax(
+                    logits[0, len(toks) - 1].astype(jnp.float32)
+                )
+            )
+            for b in _py_banned(toks, 2):
+                row[b] = -np.inf
+            tok = int(np.argmax(row))
+            toks.append(tok)
+            if tok == dec.eos_token_id:
+                break
+        want = np.full((maxlen,), dec.pad_token_id, np.int32)
+        want[: len(toks)] = toks
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_beam_no_repeat_ngram_property(setup):
+    """Beam outputs with no_repeat_ngram_size=2 never repeat a bigram inside
+    the generated prefix (pad tail excluded)."""
+    model, params, px = setup
+    dec = model.config.decoder
+    out = model.generate(
+        params, px, max_length=10, num_beams=4, no_repeat_ngram_size=2,
+        forced_eos_token_id=None,
+    )
+    for row in np.asarray(out.sequences):
+        toks = row.tolist()
+        if dec.eos_token_id in toks:
+            toks = toks[: toks.index(dec.eos_token_id) + 1]
+        bigrams = list(zip(toks, toks[1:]))
+        assert len(bigrams) == len(set(bigrams)), toks
+
+
+def test_sampling_no_repeat_ngram_never_emits_banned(setup):
+    model, params, px = setup
+    dec = model.config.decoder
+    out = model.generate(
+        params, px, max_length=12, num_beams=1, do_sample=True,
+        no_repeat_ngram_size=2, temperature=3.0, rng=jax.random.PRNGKey(5),
+        forced_eos_token_id=None,
+    )
+    for row in np.asarray(out.sequences):
+        toks = row.tolist()
+        if dec.eos_token_id in toks:
+            toks = toks[: toks.index(dec.eos_token_id) + 1]
+        bigrams = list(zip(toks, toks[1:]))
+        assert len(bigrams) == len(set(bigrams)), toks

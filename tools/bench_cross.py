@@ -31,7 +31,10 @@ def main(argv=None):
     HD = H * Dh
     rng = np.random.default_rng(0)
 
-    from mic_tpu.ops.cross_attention import fused_cross_attention
+    from mic_tpu.ops.cross_attention import (
+        fused_cross_attention,
+        fused_cross_attention_dma,
+    )
     from mic_tpu.ops.quant import quantize_rows_dynamic
 
     q0 = jnp.asarray(rng.normal(size=(B, K, HD)).astype(np.float32) * 0.3,
@@ -94,12 +97,20 @@ def main(argv=None):
         dt = float(np.median(times)) / args.reps
         print(f"{name:18s} {dt*1e3:7.3f} ms/layer  (x12 = {dt*12e3:6.2f} ms/step)")
 
+    # v2 manual-DMA kernel: merged layout, encoder axis padded to 8-aligned
+    s_pad = (S + 15) // 16 * 16
+    ekp = jnp.pad(ekm, ((0, 0), (0, s_pad - S), (0, 0)))
+    evp = jnp.pad(evm, ((0, 0), (0, s_pad - S), (0, 0)))
+
     timed("xla", xla_layer, ek, ev)
     timed("xla batch-minor", xla_layer_bminor, ekT, evT)
     timed("kernel bf16", lambda q, k, v: fused_cross_attention(q, k, v, K, H),
           ekm, evm)
     timed("kernel int8", lambda q, k, v: fused_cross_attention(q, k, v, K, H),
           ek8, ev8)
+    timed("kernel dma bf16",
+          lambda q, k, v: fused_cross_attention_dma(q, k, v, S, K, H),
+          ekp, evp)
 
 
 if __name__ == "__main__":

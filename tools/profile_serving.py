@@ -1,7 +1,8 @@
 """Profile the serving decode step on the real TPU and print the op table.
 
-Traces the default generate path (fused head + segmented cache) at the bench
-shape, then summarizes the xplane with tools/parse_profile.py.
+Traces the default generate path (fused LM head + v3 lazy-attention DMA
+kernel, bf16-resident weights) at the bench shape, then summarizes the
+xplane with tools/parse_profile.py.
 
   python tools/profile_serving.py [--batch 128] [--quant int8] [--top 30]
 """
@@ -32,14 +33,11 @@ def main(argv=None):
 
     config = CaptionerConfig.clip_vit_b32_mbart50(dtype="bfloat16")
     model = Captioner(config)
+    from mic_tpu.core.params import make_serving_params
+
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
     # bf16-RESIDENT weights, matching bench.py's production-serving default
-    # (the in-generate cast no-ops and the f32 tree leaves HBM)
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x,
-        params,
-    )
+    params = make_serving_params(params)
     jax.block_until_ready(params)
 
     @jax.jit
