@@ -139,20 +139,26 @@ def bench_train(config) -> float:
             ),
         }
 
-    batches = [make_batch() for _ in range(6)]
+    batches = [make_batch() for _ in range(9)]
     t0 = time.perf_counter()
     state, loss = p_step(state, batches[0])
-    float(loss)
+    assert np.isfinite(float(loss))
     print(f"train compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    times = []
+    # PIPELINED protocol (round 4): the trainer only syncs at logging_steps
+    # (train/trainer.py), so production steps chain through the donated
+    # state without a host round-trip — time 8 distinct-input steps and
+    # sync ONCE on the final loss (which transitively depends on every
+    # step).  The old per-step float(loss) sync added the ~30 ms
+    # host/dispatch gap to every step and understated the device rate
+    # (396.6 vs 425.2 samples/s/chip measured back-to-back).
+    t0 = time.perf_counter()
     for b in batches[1:]:
-        t0 = time.perf_counter()
         state, loss = p_step(state, b)
-        assert np.isfinite(float(loss))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    assert np.isfinite(float(loss))
+    dt = (time.perf_counter() - t0) / (len(batches) - 1)
     print(
-        f"train: per-device batch {TRAIN_BATCH}, step {dt*1e3:.1f}ms",
+        f"train: per-device batch {TRAIN_BATCH}, step {dt*1e3:.1f}ms "
+        f"(pipelined x{len(batches)-1})",
         file=sys.stderr,
     )
     return TRAIN_BATCH / dt

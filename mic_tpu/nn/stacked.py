@@ -50,6 +50,18 @@ def scan_apply(
         params, idx, extra = xs
         return body(carry, params, idx, extra)
 
+    # MIC_TPU_CUSTOM_SCAN_VJP=1: hand-written backward-as-reverse-scan.
+    # The autodiff transpose of lax.scan accumulates per-layer param grads
+    # with dynamic-update-slices the TPU backend turns into full-slab
+    # read-modify-writes (~24.9 ms/step at the flagship train shape —
+    # PERFORMANCE.md train budget).  Here the backward is its own reverse
+    # scan whose per-layer grads leave as scan YS (one aligned write per
+    # layer into the preallocated output) and whose per-layer forward is
+    # recomputed via jax.vjp (== full remat; the "masks" policy's saved
+    # dropout masks do not apply on this path).  Experiment knob.
+    if os.environ.get("MIC_TPU_CUSTOM_SCAN_VJP") == "1":
+        return _scan_custom_vjp(scan_body, h, (stacked_params, idxs,
+                                               per_layer_xs))
     if remat and remat != "none":
         policy = None
         if remat == "masks":
@@ -84,3 +96,73 @@ def scan_apply(
         scan_body, h, (stacked_params, idxs, per_layer_xs),
         _split_transpose=split,
     )
+
+
+def _scan_custom_vjp(scan_body, h, xs):
+    """lax.scan with a hand-written VJP (see scan_apply's experiment knob).
+
+    scan_body may close over differentiable arrays (enc_states, masks) and
+    integer ones (rng keys): jax.closure_convert hoists them into explicit
+    arguments; float cotangents accumulate in the backward carry (summed
+    across layers), integer arguments get float0 cotangents.  Residuals are
+    only the per-layer carry inputs — each layer's forward is recomputed in
+    the backward via jax.vjp (full-remat semantics).
+    """
+    xs0 = jax.tree.map(lambda a: a[0], xs)
+    conv, consts = jax.closure_convert(scan_body, h, xs0)
+    # conv(h, x, *consts) -> (h, ys)
+    fi = [i for i, c in enumerate(consts)
+          if jnp.issubdtype(jnp.result_type(c), jnp.inexact)]
+    ii = [i for i, c in enumerate(consts) if i not in fi]
+    fc = tuple(consts[i] for i in fi)
+    ic = tuple(consts[i] for i in ii)
+
+    def merge(fcs, ics):
+        out = [None] * len(consts)
+        for i, c in zip(fi, fcs):
+            out[i] = c
+        for i, c in zip(ii, ics):
+            out[i] = c
+        return out
+
+    @jax.custom_vjp
+    def run(h, xs, fc, ic):
+        def step(c, x):
+            return conv(c, x, *merge(fc, ic))
+        return jax.lax.scan(step, h, xs)
+
+    def run_fwd(h, xs, fc, ic):
+        def step(c, x):
+            c2, ys = conv(c, x, *merge(fc, ic))
+            return c2, (c, ys)  # residual: this layer's INPUT carry
+        hT, (h_ins, ys) = jax.lax.scan(step, h, xs)
+        return (hT, ys), (h_ins, xs, fc, ic)
+
+    def run_bwd(res, cts):
+        h_ins, xs, fc, ic = res
+        dhT, dys = cts
+
+        def step(carry, x):
+            dh, dfc = carry
+            h_in, x_l, dys_l = x
+
+            def layer(hh, xx, *ff):
+                return conv(hh, xx, *merge(ff, ic))
+
+            _, vjp = jax.vjp(layer, h_in, x_l, *fc)
+            dh2, dx_l, *dfl = vjp((dh, dys_l))
+            dfc = tuple(a + b for a, b in zip(dfc, dfl))
+            return (dh2, dfc), dx_l
+
+        zeros_fc = tuple(jnp.zeros(c.shape, c.dtype) for c in fc)
+        (dh0, dfc), dxs = jax.lax.scan(
+            step, (dhT, zeros_fc), (h_ins, xs, dys), reverse=True
+        )
+        import numpy as _np
+        dic = tuple(
+            _np.zeros(c.shape, jax.dtypes.float0) for c in ic
+        )
+        return dh0, dxs, dfc, dic
+
+    run.defvjp(run_fwd, run_bwd)
+    return run(h, xs, fc, ic)

@@ -16,6 +16,7 @@ Conventions:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -53,6 +54,13 @@ def dot_product_attention(
 def _xla_attention(q, k, v, mask, dropout_rate=0.0, dropout_rng=None,
                    return_weights=False):
     dtype = q.dtype
+    if os.environ.get("MIC_TPU_ATTN_BHTD") == "1" and not return_weights:
+        # layout experiment: hand XLA operands already in the batched-GEMM
+        # (B, H, T, D) order instead of letting it insert its own
+        # transposes around the bqhd einsums — the train profile shows
+        # ~40 ms/step of batch-minor <-> row-major relayout copies
+        # (PERFORMANCE.md train budget "layout copies" row)
+        return _xla_attention_bhtd(q, k, v, mask, dropout_rate, dropout_rng)
     # (B, H, Tq, Tk) scores in f32 so bf16 runs keep a stable softmax
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -69,3 +77,28 @@ def _xla_attention(q, k, v, mask, dropout_rate=0.0, dropout_rng=None,
     if return_weights:
         return out, weights
     return out
+
+
+def _xla_attention_bhtd(q, k, v, mask, dropout_rate=0.0, dropout_rng=None):
+    """Same math as _xla_attention with explicitly (B, H, T, D)-ordered
+    operands (one cheap sublane transpose per tensor; D stays in lanes) so
+    every einsum is a plain (B*H)-batched GEMM with no implicit relayout."""
+    dtype = q.dtype
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        scores = jnp.where(mask, scores, _NEG_INF)
+    weights = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    weights = weights.astype(dtype)
+    if dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0).astype(dtype)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", weights, v, preferred_element_type=dtype
+    )
+    return out.transpose(0, 2, 1, 3)
