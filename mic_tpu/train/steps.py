@@ -18,6 +18,7 @@ import numpy as np
 import optax
 
 from mic_tpu.models.captioner import Captioner
+from mic_tpu.train.fused_adamw import apply_gradients
 from mic_tpu.train.loss import label_smoothed_cross_entropy
 from mic_tpu.train.state import TrainState
 
@@ -55,8 +56,9 @@ def make_train_step(
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state = apply_gradients(
+            optimizer, state.params, grads, state.opt_state
+        )
         new_state = TrainState(
             params=params, opt_state=opt_state, step=state.step + 1,
             dropout_rng=state.dropout_rng,

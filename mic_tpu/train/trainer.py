@@ -34,6 +34,7 @@ from mic_tpu.parallel.sharding import batch_sharding, param_specs
 from mic_tpu.train.loss import label_smoothed_cross_entropy
 from mic_tpu.train.metrics import MetricLogger, StepTimer
 from mic_tpu.train.schedule import linear_warmup_linear_decay
+from mic_tpu.train.fused_adamw import apply_gradients
 from mic_tpu.train.state import TrainState, make_optimizer
 from mic_tpu.train.steps import count_params
 
@@ -125,7 +126,7 @@ class Trainer:
         self.optimizer = make_optimizer(
             self.lr_fn, weight_decay=tc.weight_decay, b1=tc.adam_b1,
             b2=tc.adam_b2, eps=tc.adam_eps, max_grad_norm=tc.max_grad_norm,
-            mu_dtype=tc.adam_mu_dtype,
+            mu_dtype=tc.adam_mu_dtype, fused=tc.fused_adamw,
         )
 
         model, image_size = self.model, self.mc.vision.image_size
@@ -181,11 +182,8 @@ class Trainer:
                 return compute_loss(params, pixels, batch, step_rng)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = self.optimizer.update(
-                grads, state.opt_state, state.params
-            )
-            params = jax.tree.map(
-                lambda p, u: (p + u.astype(p.dtype)), state.params, updates
+            params, opt_state = apply_gradients(
+                self.optimizer, state.params, grads, state.opt_state
             )
             new_state = TrainState(params, opt_state, state.step + 1, state.dropout_rng)
             return new_state, {"loss": loss, "learning_rate": self.lr_fn(state.step)}

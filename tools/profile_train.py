@@ -51,6 +51,7 @@ def build_step(batch_size: int, seq: int = 64, remat="full", attn="xla"):
     from mic_tpu.ops.fused_ce import fused_lm_loss
     from mic_tpu.ops.image_prep import maybe_preprocess
     from mic_tpu.train.schedule import linear_warmup_linear_decay
+    from mic_tpu.train.fused_adamw import apply_gradients
     from mic_tpu.train.state import TrainState, make_optimizer
 
     config = CaptionerConfig.clip_vit_b32_mbart50(dtype="bfloat16")
@@ -86,10 +87,9 @@ def build_step(batch_size: int, seq: int = 64, remat="full", attn="xla"):
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params
+        params, opt_state = apply_gradients(
+            optimizer, state.params, grads, state.opt_state
         )
-        params = optax.apply_updates(state.params, updates)
         return (
             TrainState(params, opt_state, state.step + 1, state.dropout_rng),
             loss,
