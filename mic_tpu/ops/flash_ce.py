@@ -53,77 +53,95 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = jnp.finfo(jnp.float32).min
 
 
-def _ce_fwd_kernel(vocab, nc, vc,
-                   h_ref, w_ref, b_ref, y_ref,
-                   out_ref, m_ref, s_ref, lbl_ref, z_ref):
+def _ce_fwd_kernel(nc,
+                   h_ref, w_ref, b_ref,
+                   out_ref, m_ref, s_ref, z_ref, buf_ref):
+    """Lean software-pipelined cell: GEMM + bias + online (max, sumexp, z).
+
+    Round-4 restructuring of the forward:
+    - label_logit and the vocab masking moved OUT of the kernel
+      (label_logit is a gather + rowwise f32 dot in XLA; the ragged vocab
+      tail past the last full chunk runs as a tiny XLA GEMM merged via
+      logaddexp), so the kernel only ever sees full (RB, VC) tiles and the
+      per-tile VPU work is just the online softmax + one raw-logit sum.
+    - SOFTWARE PIPELINING: cell c writes its logits tile to the ping-pong
+      scratch buf[c%2] and folds the PREVIOUS cell's tile buf[(c-1)%2]
+      into the accumulators, so Mosaic can overlap this cell's MXU dot
+      with the previous tile's VPU softmax (they have no data
+      dependency).  The grid runs one epilogue cell (nc+1 iterations)
+      to fold the final tile.
+    """
     c = pl.program_id(1)
-    rb = h_ref.shape[0]
+    rb = out_ref.shape[0]
+    vc = w_ref.shape[0]
 
     @pl.when(c == 0)
     def _():
         m_ref[:] = jnp.full((rb, 1), NEG, jnp.float32)
         s_ref[:] = jnp.zeros((rb, 1), jnp.float32)
-        lbl_ref[:] = jnp.zeros((rb, 1), jnp.float32)
         z_ref[:] = jnp.zeros((rb, 1), jnp.float32)
 
-    logits = jax.lax.dot_general(
-        h_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b_ref[:].astype(jnp.float32)                        # (RB, VC)
-    col = jax.lax.broadcasted_iota(jnp.int32, (rb, vc), 1) + c * vc
-    valid = col < vocab
-    lm = jnp.where(valid, logits, NEG)
+    @pl.when(c < nc)
+    def _():
+        buf_ref[c % 2] = jax.lax.dot_general(
+            h_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[:].astype(jnp.float32)                    # (RB, VC)
 
-    mx = jnp.max(lm, axis=1, keepdims=True)
-    mnew = jnp.maximum(m_ref[:], mx)
-    s_ref[:] = (
-        s_ref[:] * jnp.exp(m_ref[:] - mnew)
-        + jnp.sum(jnp.exp(lm - mnew), axis=1, keepdims=True)
-    )
-    m_ref[:] = mnew
-    onehot = col == y_ref[:]
-    lbl_ref[:] += jnp.sum(
-        jnp.where(onehot, lm, 0.0), axis=1, keepdims=True
-    )
-    z_ref[:] += jnp.sum(jnp.where(valid, logits, 0.0), axis=1, keepdims=True)
+    @pl.when(c > 0)
+    def _():
+        logits = buf_ref[(c - 1) % 2]
+        mx = jnp.max(logits, axis=1, keepdims=True)
+        mnew = jnp.maximum(m_ref[:], mx)
+        s_ref[:] = (
+            s_ref[:] * jnp.exp(m_ref[:] - mnew)
+            + jnp.sum(jnp.exp(logits - mnew), axis=1, keepdims=True)
+        )
+        m_ref[:] = mnew
+        z_ref[:] += jnp.sum(logits, axis=1, keepdims=True)
 
-    @pl.when(c == nc - 1)
+    @pl.when(c == nc)
     def _():
         lse = m_ref[:] + jnp.log(s_ref[:])
         out_ref[:] = jnp.concatenate(
-            [lse, lbl_ref[:], z_ref[:],
-             jnp.zeros((rb, 125), jnp.float32)], axis=1,
+            [lse, z_ref[:], jnp.zeros((rb, 126), jnp.float32)], axis=1,
         )
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def flash_ce_forward(h, emb, bias, labels, interpret=False):
-    """h (N, D) bf16/f32, emb (V, D), bias (V,), labels (N,) int32 ->
-    (lse, label_logit, sum_logits), each (N,) f32.  N must be a multiple
-    of the row band (wrapper pads); V may be ragged (tail masked)."""
+def _lse_main(h, emb, bias, rb, vc, interpret):
+    """Online-softmax (lse, sum_logits) over a vocab slice divisible by vc."""
     n, d = h.shape
     v = emb.shape[0]
-    rb, vc = _fwd_tiles(n)
-    nc = -(-v // vc)
-    kern = functools.partial(_ce_fwd_kernel, v, nc, vc)
+    nc = v // vc
+    kern = functools.partial(_ce_fwd_kernel, nc)
     out = pl.pallas_call(
         kern,
-        grid=(n // rb, nc),
+        grid=(n // rb, nc + 1),  # +1 epilogue cell folds the last tile
         in_specs=[
             pl.BlockSpec((rb, d), lambda r, c: (r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((vc, d), lambda r, c: (c, 0),
+            # clamp: the epilogue cell re-addresses the last block (its
+            # dot is pl.when-guarded off, no new DMA is actually needed)
+            pl.BlockSpec((vc, d), lambda r, c: (jnp.minimum(c, nc - 1), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, vc), lambda r, c: (0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 1), lambda r, c: (r, 0),
+            pl.BlockSpec((1, vc), lambda r, c: (0, jnp.minimum(c, nc - 1)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rb, 128), lambda r, c: (r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((rb, 1), jnp.float32)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((rb, 1), jnp.float32),
+            pltpu.VMEM((rb, 1), jnp.float32),
+            pltpu.VMEM((rb, 1), jnp.float32),
+            pltpu.VMEM((2, rb, vc), jnp.float32),   # ping-pong logits
+        ],
         interpret=interpret,
+        # the ping-pong logits scratch (2*RB*VC f32 = 32 MB at the
+        # flagship band) overflows the default 16 MB scoped-vmem budget
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * d * v,
             bytes_accessed=(n // rb) * 2 * v * d + 2 * n * d,
@@ -131,14 +149,62 @@ def flash_ce_forward(h, emb, bias, labels, interpret=False):
         ),
     )(
         h, emb.astype(h.dtype), bias.reshape(1, v).astype(jnp.float32),
-        labels.reshape(n, 1).astype(jnp.int32),
     )
-    return out[:, 0], out[:, 1], out[:, 2]
+    return out[:, 0], out[:, 1]
 
 
-def _fwd_tiles(n):
+@functools.partial(jax.jit, static_argnums=(4,))
+def flash_ce_forward(h, emb, bias, labels, interpret=False):
+    """h (N, D) bf16/f32, emb (V, D), bias (V,), labels (N,) int32 ->
+    (lse, label_logit, sum_logits), each (N,) f32.  N must be a multiple
+    of the row band (wrapper pads); V may be ragged (the tail past the
+    last full vocab chunk runs as a plain XLA GEMM and merges into the
+    kernel's lse via logaddexp — same online-rescale math)."""
+    n, d = h.shape
+    v = emb.shape[0]
+    rb, vc = _fwd_tiles(n, v)
+    v_main = (v // vc) * vc
+    bias_f = bias.astype(jnp.float32)
+
+    if v_main > 0:
+        lse, zsum = _lse_main(h, emb[:v_main], bias[:v_main], rb, vc,
+                              interpret)
+    else:
+        lse, zsum = None, jnp.zeros((n,), jnp.float32)
+    if v_main < v:
+        # ragged tail: < vc columns, one cheap XLA GEMM (f32 MXU accum,
+        # same numerics as the kernel's dot_general)
+        tail = jnp.einsum(
+            "nd,vd->nv", h, emb[v_main:].astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        ) + bias_f[v_main:]
+        mt = jnp.max(tail, axis=1)
+        lse_tail = mt + jnp.log(
+            jnp.sum(jnp.exp(tail - mt[:, None]), axis=1)
+        )
+        lse = lse_tail if lse is None else jnp.logaddexp(lse, lse_tail)
+        zsum = zsum + jnp.sum(tail, axis=1)
+
+    # label logit: gather the label's embedding row, rowwise f32 dot
+    # (the products are the same bf16-rounded values the kernel's MXU saw)
+    emb_rows = jnp.take(emb.astype(h.dtype), labels, axis=0)
+    lbl = jnp.einsum(
+        "nd,nd->n", h.astype(jnp.float32), emb_rows.astype(jnp.float32)
+    ) + jnp.take(bias_f, labels)
+
+    return lse, lbl, zsum
+
+
+def _fwd_tiles(n, v):
     rb = 2048 if n % 2048 == 0 else (1024 if n % 1024 == 0 else n)
-    return rb, 512
+    # biggest chunk the vocab can fill (2048 at the flagship 250054, where
+    # the fwd kernel measured 23.9 ms/step vs 24.4 at 1024 and 26.4 at 512
+    # against the 21.3 ms MXU floor); small test vocabs shrink vc so the
+    # kernel path still runs (vc=128 floor keeps lane-full tiles)
+    vc = 2048
+    while vc > 128 and v < vc:
+        vc //= 2
+    return rb, vc
 
 
 def _ce_gw_kernel(vocab, nr, vc, conf, low,
