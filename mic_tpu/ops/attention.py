@@ -45,6 +45,24 @@ def dot_product_attention(
         from mic_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, mask=mask)
+    # Short-sequence Pallas kernel (ops/small_attention.py): at Tq=Tk<=64 /
+    # Dh=64 (both towers' full-sequence attention) XLA's bqhd lowering costs
+    # ~50 ms/step of layout copies + pathological batched-tiny-GEMM emitters
+    # in the train step; the kernel reads the projections' natural row-major
+    # layout and runs fwd AND bwd in Pallas.  OPT-IN (MIC_TPU_SMALL_ATTN=1):
+    # first end-to-end train measurement was a wash (382.2 vs the 389.2
+    # XLA-chain baseline, within the ~4% run-to-run spread) — see
+    # PERFORMANCE.md; stays off until a same-session A/B shows a win.
+    if (
+        not active_dropout
+        and not return_weights
+        and os.environ.get("MIC_TPU_SMALL_ATTN", "0") == "1"
+        and jax.default_backend() == "tpu"
+    ):
+        from mic_tpu.ops import small_attention
+
+        if small_attention.supports(q, k, v, mask, 0.0, False):
+            return small_attention.small_t_attention(q, k, v, mask)
     return _xla_attention(
         q, k, v, mask, dropout_rate if active_dropout else 0.0, dropout_rng,
         return_weights,
