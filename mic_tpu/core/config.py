@@ -328,6 +328,11 @@ class TrainConfig(_JsonMixin):
     # HBM traversal per step instead of updates-tree-then-apply (~16 ms/step
     # at the flagship shape).  False = plain optax chain.
     fused_adamw: bool = True
+    # compute-dtype shadow params (train/shadow.py): the optimizer emits a
+    # bf16 copy of each bf16-consumed weight inside its update fusion, so
+    # the loss never re-casts the f32 master tree (~5 ms/step at the
+    # flagship shape).  Bit-identical math; no-op when compute dtype is f32.
+    shadow_params: bool = True
     seed: int = 42
     logging_steps: int = 100
     eval_steps: int = 3000

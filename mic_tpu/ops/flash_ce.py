@@ -108,11 +108,14 @@ def _ce_fwd_kernel(nc,
         )
 
 
-def _lse_main(h, emb, bias, rb, vc, interpret):
-    """Online-softmax (lse, sum_logits) over a vocab slice divisible by vc."""
+def _lse_main(h, emb, bias, rb, vc, v_main, interpret):
+    """Online-softmax (lse, sum_logits) over the first ``v_main`` (divisible
+    by vc) rows of the FULL (V, D) table: the grid stops at the last full
+    chunk, so the ragged tail is simply never addressed — no slice operand.
+    ``emb`` must already be in h.dtype; ``bias`` f32 (V,)."""
     n, d = h.shape
     v = emb.shape[0]
-    nc = v // vc
+    nc = v_main // vc
     kern = functools.partial(_ce_fwd_kernel, nc)
     out = pl.pallas_call(
         kern,
@@ -143,39 +146,45 @@ def _lse_main(h, emb, bias, rb, vc, interpret):
             vmem_limit_bytes=48 * 1024 * 1024
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * d * v,
-            bytes_accessed=(n // rb) * 2 * v * d + 2 * n * d,
-            transcendentals=n * v,
+            flops=2 * n * d * v_main,
+            bytes_accessed=(n // rb) * 2 * v_main * d + 2 * n * d,
+            transcendentals=n * v_main,
         ),
     )(
-        h, emb.astype(h.dtype), bias.reshape(1, v).astype(jnp.float32),
+        h, emb, bias.reshape(1, v),
     )
     return out[:, 0], out[:, 1]
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
-def flash_ce_forward(h, emb, bias, labels, interpret=False):
+def flash_ce_forward(h, emb, bias, labels, interpret=False, emb_cast=None):
     """h (N, D) bf16/f32, emb (V, D), bias (V,), labels (N,) int32 ->
     (lse, label_logit, sum_logits), each (N,) f32.  N must be a multiple
     of the row band (wrapper pads); V may be ragged (the tail past the
     last full vocab chunk runs as a plain XLA GEMM and merges into the
-    kernel's lse via logaddexp — same online-rescale math)."""
+    kernel's lse via logaddexp — same online-rescale math).
+
+    ``emb_cast``: optional pre-cast (V, D) table in h.dtype (the training
+    shadow, train/shadow.py) — skips the full-table astype here.  Either
+    way the kernel reads the FULL table with its grid bounded to the last
+    full chunk, so no (v_main, D) slice ever materializes (the slice
+    profiled at 1.6 ms/step at the flagship shape)."""
     n, d = h.shape
     v = emb.shape[0]
     rb, vc = _fwd_tiles(n, v)
     v_main = (v // vc) * vc
     bias_f = bias.astype(jnp.float32)
+    w = emb_cast if emb_cast is not None else emb.astype(h.dtype)
 
     if v_main > 0:
-        lse, zsum = _lse_main(h, emb[:v_main], bias[:v_main], rb, vc,
-                              interpret)
+        lse, zsum = _lse_main(h, w, bias_f, rb, vc, v_main, interpret)
     else:
         lse, zsum = None, jnp.zeros((n,), jnp.float32)
     if v_main < v:
         # ragged tail: < vc columns, one cheap XLA GEMM (f32 MXU accum,
         # same numerics as the kernel's dot_general)
         tail = jnp.einsum(
-            "nd,vd->nv", h, emb[v_main:].astype(h.dtype),
+            "nd,vd->nv", h, w[v_main:],
             preferred_element_type=jnp.float32,
         ) + bias_f[v_main:]
         mt = jnp.max(tail, axis=1)
@@ -187,7 +196,7 @@ def flash_ce_forward(h, emb, bias, labels, interpret=False):
 
     # label logit: gather the label's embedding row, rowwise f32 dot
     # (the products are the same bf16-rounded values the kernel's MXU saw)
-    emb_rows = jnp.take(emb.astype(h.dtype), labels, axis=0)
+    emb_rows = jnp.take(w, labels, axis=0)
     lbl = jnp.einsum(
         "nd,nd->n", h.astype(jnp.float32), emb_rows.astype(jnp.float32)
     ) + jnp.take(bias_f, labels)
@@ -280,7 +289,7 @@ def _ce_gh_kernel(vocab, nc, vc, conf, low,
 @functools.partial(jax.jit, static_argnums=(6, 7, 8))
 def flash_ce_backward(h, emb, bias, labels, lse, rowscale,
                       label_smoothing, out_dtype_name: str = "bfloat16",
-                      interpret=False):
+                      interpret=False, emb_cast=None):
     """-> (dh (N, D) out_dtype, demb (V, D) f32, dbias (V,) f32).
 
     rowscale (N,) f32 = mask * g / denom, folded per row.  dl is cast to
@@ -289,7 +298,7 @@ def flash_ce_backward(h, emb, bias, labels, lse, rowscale,
     v = emb.shape[0]
     conf = 1.0 - label_smoothing
     low = label_smoothing / (v - 1)
-    w = emb.astype(h.dtype)
+    w = emb_cast if emb_cast is not None else emb.astype(h.dtype)
     b = bias.reshape(1, v).astype(jnp.float32)
     y = labels.reshape(n, 1).astype(jnp.int32)
     lse2 = lse.reshape(n, 1).astype(jnp.float32)
@@ -399,7 +408,7 @@ def _ce_dl_kernel(vocab, vc, conf, low,
 @functools.partial(jax.jit, static_argnums=(6, 7, 8))
 def flash_ce_backward_dl(h, emb, bias, labels, lse, rowscale,
                          label_smoothing, out_dtype_name: str = "bfloat16",
-                         interpret=False):
+                         interpret=False, emb_cast=None):
     """Backward via ONE logits recompute: the kernel materializes the row-
     scaled softmax gradient dl = (p - smoothed-target) * rowscale as bf16
     (plus exact f32 per-band dbias partials), and dh/demb are plain XLA
@@ -408,12 +417,13 @@ def flash_ce_backward_dl(h, emb, bias, labels, lse, rowscale,
     bf16 dl round-trip; vs the XLA chunked backward it skips the f32
     logits materialization and its softmax/dbias re-reads (~12 GB f32
     traffic at N=8192).  Same math: dl is cast to h.dtype before both
-    contractions exactly like ops/fused_ce.py's backward."""
+    contractions exactly like ops/fused_ce.py's backward.  ``emb_cast``:
+    optional pre-cast (V, D) table in h.dtype (the training shadow)."""
     n, d = h.shape
     v = emb.shape[0]
     conf = 1.0 - label_smoothing
     low = label_smoothing / (v - 1)
-    w = emb.astype(h.dtype)
+    w = emb_cast if emb_cast is not None else emb.astype(h.dtype)
     b = bias.reshape(1, v).astype(jnp.float32)
     y = labels.reshape(n, 1).astype(jnp.int32)
     lse2 = lse.reshape(n, 1).astype(jnp.float32)

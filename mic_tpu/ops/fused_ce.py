@@ -73,9 +73,15 @@ def fused_lm_loss(
     mask: jnp.ndarray,      # (B, T)
     label_smoothing: float = 0.0,
     chunk: int = 512,
+    emb_cast: jnp.ndarray | None = None,  # optional pre-cast (V, D) table
+    # in hidden.dtype (the training shadow, train/shadow.py): the flash
+    # kernels read it instead of casting `embedding`, while the f32
+    # `embedding` keeps receiving the exact f32 demb cotangent (its value
+    # is never read in that case — XLA dead-code-eliminates the operand)
 ) -> jnp.ndarray:
     loss, _, _ = _fwd_impl(
-        hidden, embedding, bias, labels, mask, label_smoothing, chunk
+        hidden, embedding, bias, labels, mask, label_smoothing, chunk,
+        emb_cast,
     )
     return loss
 
@@ -91,7 +97,8 @@ def _normalizing(label_smoothing, vocab):
     )
 
 
-def _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk):
+def _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk,
+              emb_cast=None):
     b, t, d = hidden.shape
     vocab = embedding.shape[0]
 
@@ -102,6 +109,7 @@ def _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk):
         lse, lbl, zsum = flash_ce_forward(
             hidden.reshape(n, d), embedding, bias, labels.reshape(n),
             jax.default_backend() != "tpu",  # interpret off-TPU (tests)
+            emb_cast,
         )
         if label_smoothing > 0.0:
             confidence = 1.0 - label_smoothing
@@ -143,15 +151,17 @@ def _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk):
     return loss_sum / denom - _normalizing(label_smoothing, vocab), denom, None
 
 
-def _fused_fwd(hidden, embedding, bias, labels, mask, label_smoothing, chunk):
+def _fused_fwd(hidden, embedding, bias, labels, mask, label_smoothing, chunk,
+               emb_cast=None):
     loss, denom, lse = _fwd_impl(
-        hidden, embedding, bias, labels, mask, label_smoothing, chunk
+        hidden, embedding, bias, labels, mask, label_smoothing, chunk,
+        emb_cast,
     )
-    return loss, (hidden, embedding, bias, labels, mask, denom, lse)
+    return loss, (hidden, embedding, bias, labels, mask, denom, lse, emb_cast)
 
 
 def _fused_bwd(label_smoothing, chunk, res, g):
-    hidden, embedding, bias, labels, mask, denom, lse = res
+    hidden, embedding, bias, labels, mask, denom, lse, emb_cast = res
     b, t, d = hidden.shape
     vocab = embedding.shape[0]
 
@@ -174,7 +184,7 @@ def _fused_bwd(label_smoothing, chunk, res, g):
             dh, demb, dbias = bwd(
                 hidden.reshape(n, d), embedding, bias, labels.reshape(n),
                 lse, rowscale, label_smoothing, str(hidden.dtype),
-                jax.default_backend() != "tpu",
+                jax.default_backend() != "tpu", emb_cast,
             )
             return (
                 dh.reshape(b, t, d),
@@ -182,6 +192,7 @@ def _fused_bwd(label_smoothing, chunk, res, g):
                 dbias.astype(bias.dtype),
                 None,
                 None,
+                _zero_ct(emb_cast),
             )
 
     chunk = min(chunk, b * t)
@@ -221,7 +232,14 @@ def _fused_bwd(label_smoothing, chunk, res, g):
         dbias.astype(bias.dtype),
         None,
         None,
+        _zero_ct(emb_cast),
     )
+
+
+def _zero_ct(x):
+    # the shadow embedding is state, never differentiated: this zero flows
+    # to a closure constant and XLA dead-code-eliminates it
+    return None if x is None else jnp.zeros_like(x)
 
 
 fused_lm_loss.defvjp(_fused_fwd, _fused_bwd)

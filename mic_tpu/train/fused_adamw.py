@@ -75,7 +75,8 @@ def make_fused_adamw(
         nu = jax.tree.map(jnp.zeros_like, params)
         return FusedAdamWState(jnp.zeros((), jnp.int32), mu, nu)
 
-    def step(params, grads, state: FusedAdamWState):
+    def step(params, grads, state: FusedAdamWState, shadow_spec=None,
+             shadow_dtype=jnp.bfloat16):
         count = state.count + 1
         cf = count.astype(jnp.float32)
         # scalar strength-reductions: the per-element pass multiplies by
@@ -97,7 +98,7 @@ def make_fused_adamw(
 
         mask = decay_mask_fn(params) if decay_mask_fn is not None else None
 
-        def leaf(p, g, mu, nu, decayed):
+        def leaf(p, g, mu, nu, decayed, shadowed):
             if gscale is not None:
                 g = g * gscale.astype(g.dtype)
             gf = g.astype(jnp.float32)
@@ -107,7 +108,11 @@ def make_fused_adamw(
             if weight_decay and decayed:
                 upd = upd + weight_decay * p.astype(jnp.float32)
             p2 = (p.astype(jnp.float32) - lr * upd).astype(p.dtype)
-            return p2, mu2.astype(mu.dtype), nu2
+            # compute-dtype shadow (train/shadow.py): cast while the updated
+            # value is still in registers — one extra fusion output, no
+            # separate read pass over the master tree next step
+            sh2 = p2.astype(shadow_dtype) if shadowed else p2
+            return p2, mu2.astype(mu.dtype), nu2, sh2
 
         flat_p, treedef = jax.tree.flatten(params)
         flat_g = treedef.flatten_up_to(grads)
@@ -117,24 +122,42 @@ def make_fused_adamw(
             treedef.flatten_up_to(mask) if mask is not None
             else [True] * len(flat_p)
         )
+        flat_sh = (
+            treedef.flatten_up_to(shadow_spec) if shadow_spec is not None
+            else [False] * len(flat_p)
+        )
         out = [
-            leaf(p, g, mu, nu, d)
-            for p, g, mu, nu, d in zip(flat_p, flat_g, flat_mu, flat_nu,
-                                       flat_mask)
+            leaf(p, g, mu, nu, d, sh)
+            for p, g, mu, nu, d, sh in zip(flat_p, flat_g, flat_mu, flat_nu,
+                                           flat_mask, flat_sh)
         ]
         new_p = treedef.unflatten([o[0] for o in out])
         new_mu = treedef.unflatten([o[1] for o in out])
         new_nu = treedef.unflatten([o[2] for o in out])
-        return new_p, FusedAdamWState(count, new_mu, new_nu)
+        new_state = FusedAdamWState(count, new_mu, new_nu)
+        if shadow_spec is None:
+            return new_p, new_state
+        return new_p, new_state, treedef.unflatten([o[3] for o in out])
 
     return FusedAdamW(init=init, step=step)
 
 
-def apply_gradients(optimizer, params, grads, opt_state):
-    """One optimizer application, fused or optax: returns (params', state')."""
+def apply_gradients(optimizer, params, grads, opt_state, shadow_spec=None,
+                    shadow_dtype=jnp.bfloat16):
+    """One optimizer application, fused or optax: returns (params', state'),
+    or (params', state', shadow') when ``shadow_spec`` (a bool tree from
+    train/shadow.py::shadow_spec) is given.  The fused path emits the shadow
+    casts inside the update fusions; the optax path casts in a second pass
+    (correctness fallback — same values)."""
     if isinstance(optimizer, FusedAdamW):
-        return optimizer.step(params, grads, opt_state)
+        return optimizer.step(params, grads, opt_state, shadow_spec,
+                              shadow_dtype)
     import optax
 
     updates, opt_state = optimizer.update(grads, opt_state, params)
-    return optax.apply_updates(params, updates), opt_state
+    new_p = optax.apply_updates(params, updates)
+    if shadow_spec is None:
+        return new_p, opt_state
+    from mic_tpu.train.shadow import cast_shadow
+
+    return new_p, opt_state, cast_shadow(new_p, shadow_spec, shadow_dtype)

@@ -19,14 +19,27 @@ class TrainState(NamedTuple):
     opt_state: Any
     step: jnp.ndarray        # int32 scalar
     dropout_rng: jax.Array
+    # compute-dtype shadow of the bf16-consumed param leaves
+    # (train/shadow.py) — None when disabled; stripped from checkpoints
+    # and rebuilt on restore (it is a pure cast of params)
+    shadow: Any = None
 
     @classmethod
-    def create(cls, params: Any, optimizer: optax.GradientTransformation, seed: int = 0):
+    def create(cls, params: Any, optimizer: optax.GradientTransformation,
+               seed: int = 0, shadow_dtype=None):
+        shadow = None
+        if shadow_dtype is not None:
+            from mic_tpu.train.shadow import cast_shadow, shadow_spec
+
+            shadow = cast_shadow(
+                params, shadow_spec(params, shadow_dtype), shadow_dtype
+            )
         return cls(
             params=params,
             opt_state=optimizer.init(params),
             step=jnp.zeros((), jnp.int32),
             dropout_rng=jax.random.PRNGKey(seed),
+            shadow=shadow,
         )
 
 

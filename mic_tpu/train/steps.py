@@ -39,12 +39,14 @@ def make_train_step(
     """batch: {pixel_values (B,H,W,3), labels (B,T), decoder_input_ids (B,T),
     decoder_attention_mask (B,T)} -> (new_state, metrics)."""
 
+    from mic_tpu.train.shadow import shadow_spec, shadowed_params
+
     def train_step(state: TrainState, batch):
         step_rng = jax.random.fold_in(state.dropout_rng, state.step)
 
         def loss_fn(params):
             logits = model(
-                params,
+                shadowed_params(params, state.shadow),
                 batch["pixel_values"],
                 batch["decoder_input_ids"],
                 batch["decoder_attention_mask"],
@@ -56,12 +58,18 @@ def make_train_step(
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        params, opt_state = apply_gradients(
-            optimizer, state.params, grads, state.opt_state
+        sh_spec = (
+            shadow_spec(state.params, model.dtype)
+            if state.shadow is not None else None
+        )
+        out = apply_gradients(
+            optimizer, state.params, grads, state.opt_state,
+            shadow_spec=sh_spec, shadow_dtype=model.dtype,
         )
         new_state = TrainState(
-            params=params, opt_state=opt_state, step=state.step + 1,
+            params=out[0], opt_state=out[1], step=state.step + 1,
             dropout_rng=state.dropout_rng,
+            shadow=out[2] if len(out) == 3 else None,
         )
         metrics = {"loss": loss}
         if lr_fn is not None:

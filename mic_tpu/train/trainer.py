@@ -35,6 +35,9 @@ from mic_tpu.train.loss import label_smoothed_cross_entropy
 from mic_tpu.train.metrics import MetricLogger, StepTimer
 from mic_tpu.train.schedule import linear_warmup_linear_decay
 from mic_tpu.train.fused_adamw import apply_gradients
+from mic_tpu.train.shadow import (
+    cast_shadow, ce_embedding, shadow_spec, shadowed_params,
+)
 from mic_tpu.train.state import TrainState, make_optimizer
 from mic_tpu.train.steps import count_params
 
@@ -131,12 +134,25 @@ class Trainer:
 
         model, image_size = self.model, self.mc.vision.image_size
         dtype = self.mc.compute_dtype
+        # compute-dtype shadow params (train/shadow.py): bit-identical step,
+        # no per-step f32->bf16 master-tree casts
+        self._shadow_dtype = (
+            dtype if tc.shadow_params and jnp.dtype(dtype) != jnp.float32
+            else None
+        )
 
         def init_state():
             params = model.init_params(jax.random.PRNGKey(tc.seed))
-            return TrainState.create(params, self.optimizer, tc.seed)
+            return TrainState.create(
+                params, self.optimizer, tc.seed,
+                shadow_dtype=self._shadow_dtype,
+            )
 
         state_shape = jax.eval_shape(init_state)
+        self._shadow_spec = (
+            shadow_spec(state_shape.params, self._shadow_dtype)
+            if self._shadow_dtype is not None else None
+        )
         self.shardings = state_shardings(state_shape, self.mesh, fsdp=tc.fsdp)
         self.batch_shard = batch_sharding(self.mesh)
         self._init_state = jax.jit(init_state, out_shardings=self.shardings)
@@ -144,30 +160,35 @@ class Trainer:
 
         label_smoothing = tc.label_smoothing
 
-        def compute_loss(params, pixels, batch, rng, loss_mask=None):
+        def compute_loss(params, pixels, batch, rng, loss_mask=None,
+                         shadow=None):
             # loss_mask defaults to the attention mask; eval passes a version
             # with padded examples zeroed (the model still sees the real
             # attention mask so no row is fully masked out of the softmax).
             if loss_mask is None:
                 loss_mask = batch["decoder_attention_mask"]
+            # the model computes from the compute-dtype shadow (bit-equal to
+            # its own per-use casts); gradients route to the f32 masters
+            cp = shadowed_params(params, shadow)
             if tc.fused_ce and tc.ce_chunk > 0:
                 from mic_tpu.ops.fused_ce import fused_lm_loss
 
                 vision_rng = (
                     jax.random.fold_in(rng, 0x5649) if rng is not None else None
                 )
-                enc = model.encode(params, pixels, rng=vision_rng)
+                enc = model.encode(cp, pixels, rng=vision_rng)
                 hidden = model.decode_hidden(
-                    params, enc, batch["decoder_input_ids"],
+                    cp, enc, batch["decoder_input_ids"],
                     batch["decoder_attention_mask"], rng,
                 )
                 return fused_lm_loss(
                     hidden, params["shared"]["embedding"],
                     params["final_logits_bias"], batch["labels"],
                     loss_mask, label_smoothing, tc.ce_chunk,
+                    ce_embedding(shadow),
                 )
             logits = model(
-                params, pixels, batch["decoder_input_ids"],
+                cp, pixels, batch["decoder_input_ids"],
                 batch["decoder_attention_mask"], rng=rng,
             )
             return label_smoothed_cross_entropy(
@@ -179,13 +200,18 @@ class Trainer:
             step_rng = jax.random.fold_in(state.dropout_rng, state.step)
 
             def loss_fn(params):
-                return compute_loss(params, pixels, batch, step_rng)
+                return compute_loss(params, pixels, batch, step_rng,
+                                    shadow=state.shadow)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            params, opt_state = apply_gradients(
-                self.optimizer, state.params, grads, state.opt_state
+            out = apply_gradients(
+                self.optimizer, state.params, grads, state.opt_state,
+                shadow_spec=self._shadow_spec, shadow_dtype=dtype,
             )
-            new_state = TrainState(params, opt_state, state.step + 1, state.dropout_rng)
+            params, opt_state = out[0], out[1]
+            shadow = out[2] if len(out) == 3 else None
+            new_state = TrainState(params, opt_state, state.step + 1,
+                                   state.dropout_rng, shadow)
             return new_state, {"loss": loss, "learning_rate": self.lr_fn(state.step)}
 
         self.p_train_step = jax.jit(
@@ -242,6 +268,9 @@ class Trainer:
             lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
             self._state_shape, self.shardings,
         )
+        # checkpoints never carry the shadow (_save strips it): restore the
+        # persistent fields only, rebuild the shadow from params afterwards
+        template = template._replace(shadow=None)
 
         def restore(fn):
             try:
@@ -284,14 +313,25 @@ class Trainer:
                 )
             if meta:
                 train_loader.set_state(meta)
-            return state
+            return self._rebuild_shadow(state)
         if self.ckpt.latest_step() is not None:
             state, meta = restore(self.ckpt.restore)
             if state is not None:
                 if meta:
                     train_loader.set_state(meta)
-                return state
+                return self._rebuild_shadow(state)
         return self._init_state()
+
+    def _rebuild_shadow(self, state: TrainState) -> TrainState:
+        """The shadow is stripped from checkpoints; cast it fresh from the
+        restored params (sharded like the step expects)."""
+        if self._shadow_dtype is None or state.shadow is not None:
+            return state
+        fn = jax.jit(
+            lambda p: cast_shadow(p, self._shadow_spec, self._shadow_dtype),
+            out_shardings=self.shardings.shadow,
+        )
+        return state._replace(shadow=fn(state.params))
 
     # -- eval -------------------------------------------------------------------
 
@@ -445,4 +485,7 @@ class Trainer:
         return state
 
     def _save(self, step: int, state: TrainState, data_meta: dict) -> None:
-        self.ckpt.save(step, state, data_meta=data_meta)
+        # the shadow is a pure cast of params: strip it from checkpoints
+        # (keeps the on-disk format identical to pre-shadow runs) and
+        # rebuild it on restore (init_or_resume)
+        self.ckpt.save(step, state._replace(shadow=None), data_meta=data_meta)

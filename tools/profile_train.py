@@ -54,16 +54,28 @@ def build_step(batch_size: int, seq: int = 64, remat="full", attn="xla"):
     from mic_tpu.train.fused_adamw import apply_gradients
     from mic_tpu.train.state import TrainState, make_optimizer
 
+    from mic_tpu.train.shadow import (
+        ce_embedding, shadow_spec, shadowed_params,
+    )
+
     config = CaptionerConfig.clip_vit_b32_mbart50(dtype="bfloat16")
     model = Captioner(config, remat=remat, attn_impl=attn)
     optimizer = make_optimizer(linear_warmup_linear_decay(5e-5, 10000, 1000))
+    # compute-dtype shadow params, matching bench.py (MIC_TPU_SHADOW=0 A/B)
+    use_shadow = os.environ.get("MIC_TPU_SHADOW", "1") != "0"
+    sh_spec = None
 
     def init_state():
         params = model.init_params(jax.random.PRNGKey(0))
-        return TrainState.create(params, optimizer, 0)
+        return TrainState.create(
+            params, optimizer, 0,
+            shadow_dtype=config.compute_dtype if use_shadow else None,
+        )
 
     state = jax.jit(init_state)()
     jax.block_until_ready(state.params)
+    if use_shadow:
+        sh_spec = shadow_spec(state.params, config.compute_dtype)
 
     def train_step(state, batch):
         pixels = maybe_preprocess(
@@ -73,10 +85,11 @@ def build_step(batch_size: int, seq: int = 64, remat="full", attn="xla"):
         rng = jax.random.fold_in(state.dropout_rng, state.step)
 
         def loss_fn(params):
+            cp = shadowed_params(params, state.shadow)
             vision_rng = jax.random.fold_in(rng, 0x5649)
-            enc = model.encode(params, pixels, rng=vision_rng)
+            enc = model.encode(cp, pixels, rng=vision_rng)
             hidden = model.decode_hidden(
-                params, enc, batch["decoder_input_ids"],
+                cp, enc, batch["decoder_input_ids"],
                 batch["decoder_attention_mask"], rng,
             )
             return fused_lm_loss(
@@ -84,14 +97,19 @@ def build_step(batch_size: int, seq: int = 64, remat="full", attn="xla"):
                 params["final_logits_bias"], batch["labels"],
                 batch["decoder_attention_mask"], 0.1,
                 int(os.environ.get("MIC_TPU_CE_CHUNK", "4096")),
+                ce_embedding(state.shadow),
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        params, opt_state = apply_gradients(
-            optimizer, state.params, grads, state.opt_state
+        out = apply_gradients(
+            optimizer, state.params, grads, state.opt_state,
+            shadow_spec=sh_spec, shadow_dtype=config.compute_dtype,
         )
+        params, opt_state = out[0], out[1]
+        shadow = out[2] if len(out) == 3 else None
         return (
-            TrainState(params, opt_state, state.step + 1, state.dropout_rng),
+            TrainState(params, opt_state, state.step + 1, state.dropout_rng,
+                       shadow),
             loss,
         )
 
