@@ -180,7 +180,23 @@ def bench_train(config) -> float:
         f"(pipelined x{len(batches)-1})",
         file=sys.stderr,
     )
-    return TRAIN_BATCH / dt
+    # PER-STEP-SYNC protocol: read the loss back every step, like a
+    # tools/profile_train.py run (or a trainer with logging_steps=1).  The
+    # pipelined and sync rates differ by the ~30 ms host/dispatch gap the
+    # donated-state chain hides; the driver records BOTH so the protocol
+    # choice never does silent work (VERDICT r4 item 3).
+    sync_times = []
+    for b in batches[1:]:
+        t0 = time.perf_counter()
+        state, loss = p_step(state, b)
+        assert np.isfinite(float(loss))
+        sync_times.append(time.perf_counter() - t0)
+    dt_sync = float(np.median(sync_times))
+    print(
+        f"train (per-step sync): step {dt_sync*1e3:.1f}ms",
+        file=sys.stderr,
+    )
+    return TRAIN_BATCH / dt, TRAIN_BATCH / dt_sync
 
 
 def main() -> None:
@@ -252,6 +268,70 @@ def main() -> None:
         int8_per_chip = round(BATCH / dt8, 2)
         print(f"int8 weights: step={dt8*1e3:.1f}ms", file=sys.stderr)
 
+    # -- EARLY-EXIT serving rows: the north-star scenario ---------------------
+    # Production serving runs TRAINED weights: captions end at ~10-20 tokens
+    # and the on-device early stop (search.py while cond; reference:
+    # generation_clip_vision_utils.py:910-940) cuts most of the 63 steps.
+    # Random weights never emit EOS, so the headline above measures the
+    # full-length worst case.  This row pins a deterministic CC12M-like
+    # per-image caption-length distribution (p50 ~14 tokens) through the
+    # per-row forced-EOS machinery (search._force_eos_candidates): per-step
+    # compute is unchanged, rows finish exactly at their pinned position, and
+    # the loop exits via the real early-stop cond at the batch's longest
+    # caption.  measured mean_steps_to_finish is read back from the output.
+    ee_rows = {}
+    if os.environ.get("BENCH_SKIP_EARLYEXIT", "") != "1":
+        ee_rng = np.random.default_rng(42)
+        # content tokens ~ lognormal(log 12, 0.35) clipped to [4, 24];
+        # EOS position = 2 (start + lang BOS) + content length
+        content_len = np.clip(
+            np.round(np.exp(ee_rng.normal(np.log(12.0), 0.35, size=BATCH))),
+            4, 24,
+        ).astype(np.int32)
+        eos_pos_np = (2 + content_len).astype(np.int32)
+        eos_pos = jnp.asarray(eos_pos_np)
+
+        def make_ee(quant):
+            @jax.jit
+            def caption_ee(params, images_u8, eos_positions):
+                pixels = maybe_preprocess(
+                    images_u8, config.vision.image_size, model.dtype
+                )
+                return model.generate(
+                    params, pixels,
+                    max_length=MAX_LENGTH, num_beams=NUM_BEAMS,
+                    forced_bos_token_id=250004, early_stopping=True,
+                    eos_positions=eos_positions, quantize=quant,
+                ).sequences
+            return caption_ee
+
+        eos_id = config.decoder.eos_token_id
+        for quant, key in ((None, "captions_per_sec_earlyexit"),
+                           ("int8", "captions_per_sec_earlyexit_int8")):
+            fn = make_ee(quant)
+            fn2 = lambda p, b: fn(p, b, eos_pos)
+            seqs = np.asarray(fn2(params, batches[0]))
+            # protocol sanity: every caption ends exactly at its pinned
+            # length (skip position 0 — mBART's decoder start token id ==
+            # its EOS id)
+            got = 1 + np.argmax(seqs[:, 1:] == eos_id, axis=1)
+            assert (got == eos_pos_np).all(), (got[:8], eos_pos_np[:8])
+            dte = _measure(fn2, params, batches[1:], reps)
+            ee_rows[key] = round(BATCH / dte, 2)
+            print(
+                f"early-exit ({quant or 'bf16'}): step={dte*1e3:.1f}ms "
+                f"({BATCH/dte:.1f}/s)",
+                file=sys.stderr,
+            )
+        ee_rows["mean_steps_to_finish"] = round(float(eos_pos_np.mean()), 2)
+        ee_rows["max_steps_in_batch"] = int(eos_pos_np.max())
+        print(
+            f"early-exit lengths: mean EOS position "
+            f"{eos_pos_np.mean():.1f}, batch max {eos_pos_np.max()} "
+            f"(vs {MAX_LENGTH-1} full-length steps)",
+            file=sys.stderr,
+        )
+
     # -- serving p50: batch=1, bf16 and int8 weights --------------------------
     p50_ms = p50_ms_int8 = None
     if not SKIP_LATENCY:
@@ -311,10 +391,14 @@ def main() -> None:
             )
 
     # -- pretrain samples/sec/chip (device step only) -------------------------
-    train_rate = None
+    train_rate = train_rate_sync = None
     if not SKIP_TRAIN:
-        train_rate = bench_train(config)
-        print(f"train samples/s/chip: {train_rate:.1f}", file=sys.stderr)
+        train_rate, train_rate_sync = bench_train(config)
+        print(
+            f"train samples/s/chip: {train_rate:.1f} (pipelined) / "
+            f"{train_rate_sync:.1f} (per-step sync)",
+            file=sys.stderr,
+        )
 
     out = {
         "metric": "captions_per_sec_per_chip_beam4",
@@ -328,9 +412,12 @@ def main() -> None:
         out["p50_latency_ms_int8"] = p50_ms_int8
     if int8_per_chip is not None:
         out["captions_per_sec_int8_weights"] = int8_per_chip
+    out.update(ee_rows)
     out.update(long_ctx)
     if train_rate is not None:
         out["train_samples_per_sec_per_chip"] = round(train_rate, 1)
+    if train_rate_sync is not None:
+        out["train_samples_per_sec_per_chip_sync"] = round(train_rate_sync, 1)
     print(json.dumps(out))
 
 

@@ -170,6 +170,57 @@ class GenerationConfig(_JsonMixin):
 
 
 @dataclasses.dataclass(frozen=True)
+class DecodeConfig(_JsonMixin):
+    """Serving/decode-path tuning knobs (the generate hot loop).
+
+    Defaults are the measured-fastest TPU serving path (PERFORMANCE.md
+    optimization history); "auto" fields resolve backend-dependently — the
+    TPU kernel/approximation named per field on TPU, the exact portable
+    path elsewhere (so CPU tests see deterministic reference math).  Every
+    field has an environment override of the listed name, resolved in ONE
+    place (core/knobs.py::override — env wins when set) so deployments can
+    A/B without editing configs.  Measured-dead-end paths are NOT here:
+    they live behind the MIC_TPU_EXPERIMENTAL registry (core/knobs.py).
+    """
+
+    # weight-only int8 decode (ops/quant.py), BLEU-validated: None | "int8".
+    # Env: MIC_TPU_DECODE_QUANT
+    quantize: str | None = None
+    # int8 self-attention KV cache (lazy path only; halves cache memory,
+    # measured slower at len 64): None | "int8".  Env: MIC_TPU_KV_QUANT
+    kv_quant: str | None = None
+    # ancestry-tracked beam cache — no physical per-step cache permute
+    # (PERFORMANCE.md round-2 row).  Env: MIC_TPU_LAZY_CACHE (0 disables)
+    lazy_cache: bool = True
+    # one (D, 3D) self-attn QKV GEMM per layer per decode step instead of
+    # three (bit-identical columns).  Env: MIC_TPU_FUSED_QKV (0 disables)
+    fused_qkv: bool = True
+    # fused LM-head candidate selection (ops/fused_head.py — logits never
+    # reach HBM): "auto" (on for TPU), "1", "0".  Env: MIC_TPU_FUSED_HEAD
+    fused_head: str = "auto"
+    # in-kernel candidate select: "auto" (bucket on TPU, exact elsewhere),
+    # "bucket", "exact", "window".  Env: MIC_TPU_FUSED_SELECT
+    fused_select: str = "auto"
+    # dense-path candidate top-k: "auto" (approx_max_k on TPU — the
+    # hardware-native partial reduction, recall study in PERFORMANCE.md —
+    # exact elsewhere), "exact", "approx".  Env: MIC_TPU_EXACT_TOPK=1
+    # (legacy spelling for topk_mode="exact")
+    topk_mode: str = "auto"
+    # phased decode-cache growth (search._run_segmented): "auto" (4 linear
+    # phases on the TPU XLA-chain path; off when the DMA kernel streams
+    # the live prefix itself, and off-TPU), "off", or a comma list of
+    # cache lengths.  Env: MIC_TPU_CACHE_SEGMENTS
+    cache_segments: str = "auto"
+    # lazy decode-attention impl: "auto" (the v3 DMA pass-through Pallas
+    # kernel on TPU at every max_length), "0" XLA chain, "1" blocked
+    # kernel, "2" DMA kernel.  Env: MIC_TPU_FUSED_LAZY_ATTN
+    lazy_attn: str = "auto"
+    # images per DMA grid cell in the v3 kernel; 0 = measured auto ladder
+    # (G=8 at the flagship shape).  Env: MIC_TPU_DMA_G
+    dma_group: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
 class CaptionerConfig(_JsonMixin):
     """Composite vision-encoder + text-decoder captioner config.
 
@@ -181,6 +232,7 @@ class CaptionerConfig(_JsonMixin):
     vision: VisionConfig = dataclasses.field(default_factory=VisionConfig)
     decoder: DecoderConfig = dataclasses.field(default_factory=DecoderConfig)
     generation: GenerationConfig = dataclasses.field(default_factory=GenerationConfig)
+    decode: DecodeConfig = dataclasses.field(default_factory=DecodeConfig)
     tie_word_embeddings: bool = True
     # compute dtype for activations; params are always float32
     dtype: str = "float32"
@@ -379,6 +431,16 @@ class TrainConfig(_JsonMixin):
     # keeps the oracle path for tiny configs/tests.
     fused_ce: bool = True
     ce_chunk: int = 4096
+    # flash-CE kernel routing (ops/fused_ce.py): "auto" (dl-backward Pallas
+    # kernels on TPU, XLA chunked elsewhere), "off" XLA chunked, "fwd"
+    # flash forward + XLA backward, "dl" flash forward + dl-materializing
+    # backward, "split" the measured-slower two-kernel backward.
+    # Env override: MIC_TPU_FLASH_CE (resolved in core/knobs.py)
+    flash_ce: str = "auto"
+    # row ceiling for the dl-materializing CE backward (its bf16 (N, V)
+    # gradient transient is ~4 GB at 8192 rows x mBART's vocab); larger
+    # batches fall back to the XLA chunked backward.  Env: MIC_TPU_DL_MAX_ROWS
+    dl_max_rows: int = 8192
     # adam first-moment dtype; "bfloat16" halves a big slice of optimizer HBM
     adam_mu_dtype: str = "float32"
     # PRNG implementation for the training process ("" = leave JAX default).
@@ -395,6 +457,7 @@ _NESTED = {
     ("CaptionerConfig", "vision"): VisionConfig,
     ("CaptionerConfig", "decoder"): DecoderConfig,
     ("CaptionerConfig", "generation"): GenerationConfig,
+    ("CaptionerConfig", "decode"): DecodeConfig,
 }
 
 

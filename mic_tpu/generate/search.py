@@ -40,32 +40,35 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from mic_tpu.core.knobs import experimental, override
 from mic_tpu.generate.processors import NEG_INF, Processor, build_warpers
 from mic_tpu.nn.cache import DecoderCache
-import os
 
 from mic_tpu.ops.topk_lse import topk_log_probs
 
 
-def _topk_mode() -> str:
+def _topk_mode(mode: str = "auto") -> str:
     """Candidate-selection strategy, resolved at TRACE time (not import time)
     so one process can compile both variants (tools/validate_fast_decode.py).
+    ``mode`` is DecodeConfig.topk_mode ("auto" | "exact" | "approx");
+    MIC_TPU_EXACT_TOPK=1 is the env override spelling for "exact" (resolved
+    via core/knobs.py), and the measured-dead-end strategies hang off the
+    MIC_TPU_EXPERIMENTAL registry.
 
-    Default on TPU is `jax.lax.approx_max_k` (the hardware-native partial
+    "auto" on TPU is `jax.lax.approx_max_k` (the hardware-native partial
     reduction, ~1.8 ms/step faster than the exact TopK custom-call at the
     flagship shapes) — validated BLEU-neutral on a converged flagship model
     (PERFORMANCE.md "Approx top-k validation"). On CPU the approx lowering IS
-    exact top-k, so tests see identical bits. MIC_TPU_EXACT_TOPK=1 forces the
-    exact custom-call; the other modes are documented measured dead ends.
+    exact top-k, so tests see identical bits.
     """
-    if os.environ.get("MIC_TPU_PALLAS_TOPK", "0") == "1":
+    if experimental("pallas_topk"):
         return "pallas"
-    seg = os.environ.get("MIC_TPU_SEGMENTED_TOPK", "0")
-    if seg != "0":
+    seg = experimental("segmented_topk")
+    if seg:
         return f"segmented:{seg}"
-    if os.environ.get("MIC_TPU_EXACT_TOPK", "0") == "1":
+    if override("MIC_TPU_EXACT_TOPK", "0") == "1" or mode == "exact":
         return "exact"
-    if os.environ.get("MIC_TPU_APPROX_TOPK", "0") == "1":
+    if mode == "approx" or experimental("approx_topk"):
         return "approx"
     return "approx" if jax.default_backend() == "tpu" else "exact"
 
@@ -192,6 +195,36 @@ class GenerateOutput(NamedTuple):
     scores: jnp.ndarray     # (B,) float32 — sequence log-prob (beam: penalized)
 
 
+def _force_eos_candidates(
+    cand_lp: jnp.ndarray,   # (N, k) f32
+    cand_ids: jnp.ndarray,  # (N, k) i32
+    cur_len: jnp.ndarray,
+    eos_rows: jnp.ndarray,  # (N,) i32 per-row pinned EOS position
+    eos_token_id: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pinned-length decoding: a row's sequence ends with EOS at EXACTLY its
+    pinned position — EOS candidates are banned before it (per-row min-length
+    semantics; top-k ids are distinct, so at most one candidate per row is
+    banned and the 2K-wide pool stays viable), and at/after it the slate is
+    replaced by EOS at slot 0 (log-prob 0, the rest NEG_INF), so the row
+    finishes there and the search's real early-exit machinery (the while
+    cond) takes over.
+
+    Deliberately applied AFTER candidate selection: the per-step compute
+    (decoder step, LM head, top-k) is unchanged, so a pinned-length run
+    measures exactly the work a model that emits EOS at those positions
+    would do — the deterministic stand-in for trained-weights early exit
+    (reference early-stopping surface:
+    generation_clip_vision_utils.py:910-940)."""
+    early = (cur_len < eos_rows)[:, None] & (cand_ids == eos_token_id)
+    cand_lp = jnp.where(early, NEG_INF, cand_lp)
+    force = (cur_len >= eos_rows)[:, None]
+    slot0 = (jnp.arange(cand_lp.shape[-1]) == 0)[None, :]
+    lp = jnp.where(force, jnp.where(slot0, 0.0, NEG_INF), cand_lp)
+    ids = jnp.where(force, eos_token_id, cand_ids)
+    return lp, ids
+
+
 def _logsumexp(logits32: jnp.ndarray) -> jnp.ndarray:
     m = jnp.max(logits32, axis=-1)
     return m + jnp.log(jnp.sum(jnp.exp(logits32 - m[..., None]), axis=-1))
@@ -204,6 +237,7 @@ def _candidates(
     spec: ProcessorSpec,
     head: Optional[CandidateHead] = None,
     seqs: Optional[jnp.ndarray] = None,  # (N, T) — no_repeat_ngram only
+    topk_mode: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k candidate (log_probs (N,k), token_ids (N,k)) per row, honoring
     forced tokens (cond branch, no top-k), min-length EOS blocking, and
@@ -245,7 +279,7 @@ def _candidates(
             cand_lp, cand_ids = normal_h(None)
         return _post(cand_lp, cand_ids)
 
-    mode = _topk_mode()
+    mode = _topk_mode(topk_mode)
 
     def normal(_):
         if mode == "pallas":
@@ -351,6 +385,8 @@ def _sequential_search(
     rng: Optional[jax.Array],
     head: Optional[CandidateHead] = None,
     cache_segments: tuple = (),
+    eos_positions: Optional[jnp.ndarray] = None,
+    topk_mode: str = "auto",
 ) -> GenerateOutput:
     sequences = jnp.full((batch, max_length), pad_token_id, jnp.int32)
     sequences = sequences.at[:, 0].set(start_token_id)
@@ -375,6 +411,12 @@ def _sequential_search(
         if do_sample:
             log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             lp = _apply_spec_dense(log_probs, s.cur_len, spec, s.sequences)
+            if eos_positions is not None:
+                # pinned lengths: ban EOS before the row's position, force at it
+                early = s.cur_len < eos_positions
+                lp = lp.at[:, eos_token_id].set(
+                    jnp.where(early, NEG_INF, lp[:, eos_token_id])
+                )
             warped = warpers(lp, s.cur_len)
             rng, key = jax.random.split(s.rng)
             token = jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
@@ -387,8 +429,13 @@ def _sequential_search(
                 8, head.vocab_size if head is not None else logits.shape[-1]
             )
             cand_lp, cand_ids = _candidates(
-                logits, kg, s.cur_len, spec, head, seqs=s.sequences
+                logits, kg, s.cur_len, spec, head, seqs=s.sequences,
+                topk_mode=topk_mode,
             )
+            if eos_positions is not None:
+                cand_lp, cand_ids = _force_eos_candidates(
+                    cand_lp, cand_ids, s.cur_len, eos_positions, eos_token_id
+                )
             # candidates arrive best-first; bans set NEG_INF, so argmax picks
             # the best surviving candidate
             pick = jnp.argmax(cand_lp, axis=-1)
@@ -396,6 +443,10 @@ def _sequential_search(
             token_score = jnp.take_along_axis(
                 cand_lp, pick[:, None], axis=-1
             )[:, 0]
+        if do_sample and eos_positions is not None:
+            force = s.cur_len >= eos_positions
+            token = jnp.where(force, eos_token_id, token)
+            token_score = jnp.where(force, 0.0, token_score)
         token = jnp.where(s.is_finished, pad_token_id, token).astype(jnp.int32)
         scores = s.scores + jnp.where(s.is_finished, 0.0, token_score)
         sequences = jax.lax.dynamic_update_slice(
@@ -474,9 +525,15 @@ def _beam_search(
     early_stopping: bool,
     head: Optional[CandidateHead] = None,
     cache_segments: tuple = (),
+    eos_positions: Optional[jnp.ndarray] = None,
+    topk_mode: str = "auto",
 ) -> GenerateOutput:
     K = num_beams
     B = batch
+    eos_rows = (
+        jnp.repeat(eos_positions.astype(jnp.int32), K)
+        if eos_positions is not None else None
+    )
     running_sequences = jnp.full((B, K, max_length), pad_token_id, jnp.int32)
     running_sequences = running_sequences.at[:, :, 0].set(start_token_id)
     # only beam 0 is live at the start; clones would waste the candidate pool
@@ -523,7 +580,12 @@ def _beam_search(
         cand_lp, cand_ids = _candidates(
             logits, kc, s.cur_len, spec, head,
             seqs=s.running_sequences.reshape(B * K, -1),
+            topk_mode=topk_mode,
         )
+        if eos_rows is not None:
+            cand_lp, cand_ids = _force_eos_candidates(
+                cand_lp, cand_ids, s.cur_len, eos_rows, eos_token_id
+            )
         cand_total = cand_lp + s.running_scores.reshape(B * K, 1)
 
         # global 2K candidates per batch group from the tiny K*kc pool
@@ -618,6 +680,8 @@ def generate(
     rng: Optional[jax.Array] = None,
     head: Optional[CandidateHead] = None,
     cache_segments: tuple = (),
+    eos_positions: Optional[jnp.ndarray] = None,
+    topk_mode: str = "auto",
 ) -> GenerateOutput:
     """Dispatch greedy / sample / beam search (reference surface:
     generation_clip_vision_utils.py:128-336). `cache.batch` must equal `batch`
@@ -625,7 +689,13 @@ def generate(
 
     ``cache_segments``: optional increasing static cache lengths for phased
     decoding (see _run_segmented); the passed-in cache must be sized to
-    ``cache_segments[0]`` and the last segment must cover max_length-1."""
+    ``cache_segments[0]`` and the last segment must cover max_length-1.
+
+    ``eos_positions``: optional (batch,) int32 pinned per-row EOS positions
+    (must be >= 2 when a BOS token is forced at position 1): row b emits EOS
+    at output position eos_positions[b] and finishes there, exercising the
+    real on-device early-exit path deterministically — the serving-protocol
+    stand-in for trained-weights early stopping (see _force_eos_candidates)."""
     spec = spec or ProcessorSpec(eos_token_id=eos_token_id)
     warpers = warpers or build_warpers()
     if num_beams > 1:
@@ -637,7 +707,8 @@ def generate(
             eos_token_id=eos_token_id, pad_token_id=pad_token_id,
             spec=spec, length_penalty=length_penalty,
             early_stopping=early_stopping, head=head,
-            cache_segments=cache_segments,
+            cache_segments=cache_segments, eos_positions=eos_positions,
+            topk_mode=topk_mode,
         )
     return _sequential_search(
         step_fn, cache, batch,
@@ -645,5 +716,6 @@ def generate(
         eos_token_id=eos_token_id, pad_token_id=pad_token_id,
         spec=spec, do_sample=do_sample, warpers=warpers, rng=rng,
         head=None if do_sample else head,
-        cache_segments=cache_segments,
+        cache_segments=cache_segments, eos_positions=eos_positions,
+        topk_mode=topk_mode,
     )

@@ -330,6 +330,10 @@ class Captioner:
         kv_quant = overrides.pop("kv_quant", None) or os.environ.get(
             "MIC_TPU_KV_QUANT"
         ) or None
+        # (batch,) pinned per-image EOS positions — deterministic early-exit
+        # serving protocol (search.generate docstring); a traced array, so it
+        # bypasses the static GenerationConfig
+        eos_positions = overrides.pop("eos_positions", None)
         gen = self.config.generation.replace(**overrides)
         dec = self.config.decoder
         start = (
@@ -607,6 +611,7 @@ class Captioner:
             spec=spec, warpers=warpers,
             length_penalty=gen.length_penalty, early_stopping=gen.early_stopping,
             rng=rng, head=head, cache_segments=cache_segments,
+            eos_positions=eos_positions,
         )
 
     # -- persistence (full save/load lives in mic_tpu/io) --------------------

@@ -28,24 +28,30 @@ clamped to the row count so small callers never pad up.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 
+from mic_tpu.core.knobs import override
 
-def _flash_mode() -> str:
-    """Route through the Pallas flash-CE kernels (ops/flash_ce.py):
+
+def _resolve_mode(mode: str) -> str:
+    """Resolve the flash-CE routing (TrainConfig.flash_ce; env override
+    MIC_TPU_FLASH_CE wins when set — core/knobs.py) to the internal tag:
     "" = XLA chunked path, "fwd" = flash forward + XLA backward,
     "1" = flash forward and two-kernel backward, "dl" = flash forward +
     dl-materializing backward (one logits recompute; dh/demb as XLA GEMMs
     over the bf16 dl tensor).  The two-kernel backward measured slower
     than XLA's (341.4 vs 357.8 samples/s/chip) — its grad_W/grad_h split
     recomputes the logits GEMM twice (PERFORMANCE.md)."""
-    raw = os.environ.get("MIC_TPU_FLASH_CE")
+    raw = override("MIC_TPU_FLASH_CE")
     if raw is not None:
-        return "" if raw == "0" else raw
-    return "dl" if jax.default_backend() == "tpu" else ""
+        mode = raw
+    if mode in ("", "0", "off"):
+        return ""
+    if mode == "auto":
+        return "dl" if jax.default_backend() == "tpu" else ""
+    return "1" if mode == "split" else mode
 
 
 def _chunk(x: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -64,7 +70,7 @@ def _logits_chunk(h, emb, bias):
     return logits + bias.astype(jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 8, 9))
 def fused_lm_loss(
     hidden: jnp.ndarray,    # (B, T, D) decoder output, compute dtype
     embedding: jnp.ndarray, # (V, D) shared table (tied LM head)
@@ -78,10 +84,12 @@ def fused_lm_loss(
     # kernels read it instead of casting `embedding`, while the f32
     # `embedding` keeps receiving the exact f32 demb cotangent (its value
     # is never read in that case — XLA dead-code-eliminates the operand)
+    mode: str = "auto",     # flash-CE routing (TrainConfig.flash_ce)
+    dl_max_rows: int = 8192,  # TrainConfig.dl_max_rows
 ) -> jnp.ndarray:
     loss, _, _ = _fwd_impl(
         hidden, embedding, bias, labels, mask, label_smoothing, chunk,
-        emb_cast,
+        emb_cast, mode,
     )
     return loss
 
@@ -98,11 +106,12 @@ def _normalizing(label_smoothing, vocab):
 
 
 def _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk,
-              emb_cast=None):
+              emb_cast=None, mode="auto"):
     b, t, d = hidden.shape
     vocab = embedding.shape[0]
+    flash = _resolve_mode(mode)
 
-    if _flash_mode():
+    if flash:
         from mic_tpu.ops.flash_ce import flash_ce_forward
 
         n = b * t
@@ -121,7 +130,7 @@ def _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk,
         loss_sum = jnp.sum((lse - expected) * m2)
         denom = jnp.sum(m2)
         loss = loss_sum / denom - _normalizing(label_smoothing, vocab)
-        return loss, denom, (lse if _flash_mode() in ("1", "dl") else None)
+        return loss, denom, (lse if flash in ("1", "dl") else None)
 
     chunk = min(chunk, b * t)
     h = _chunk(hidden.reshape(b * t, d), chunk)
@@ -152,15 +161,15 @@ def _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk,
 
 
 def _fused_fwd(hidden, embedding, bias, labels, mask, label_smoothing, chunk,
-               emb_cast=None):
+               emb_cast=None, mode="auto", dl_max_rows=8192):
     loss, denom, lse = _fwd_impl(
         hidden, embedding, bias, labels, mask, label_smoothing, chunk,
-        emb_cast,
+        emb_cast, mode,
     )
     return loss, (hidden, embedding, bias, labels, mask, denom, lse, emb_cast)
 
 
-def _fused_bwd(label_smoothing, chunk, res, g):
+def _fused_bwd(label_smoothing, chunk, mode, dl_max_rows, res, g):
     hidden, embedding, bias, labels, mask, denom, lse, emb_cast = res
     b, t, d = hidden.shape
     vocab = embedding.shape[0]
@@ -171,15 +180,16 @@ def _fused_bwd(label_smoothing, chunk, res, g):
         )
 
         n = b * t
+        flash = _resolve_mode(mode)
         # the dl backward materializes a bf16 (N, V) gradient tensor; above
         # ~8k rows at mBART's vocab that transient alone is >4 GB, so huge
         # batches fall back to the XLA chunked backward (which ignores lse)
-        max_dl_rows = int(os.environ.get("MIC_TPU_DL_MAX_ROWS", "8192"))
-        if _flash_mode() == "dl" and n > max_dl_rows:
+        max_dl_rows = int(override("MIC_TPU_DL_MAX_ROWS", str(dl_max_rows)))
+        if flash == "dl" and n > max_dl_rows:
             pass  # fall through to the XLA chunked backward below
         else:
             rowscale = mask.reshape(n).astype(jnp.float32) * (g / denom)
-            bwd = (flash_ce_backward_dl if _flash_mode() == "dl"
+            bwd = (flash_ce_backward_dl if flash == "dl"
                    else flash_ce_backward)
             dh, demb, dbias = bwd(
                 hidden.reshape(n, d), embedding, bias, labels.reshape(n),

@@ -50,10 +50,10 @@ interpret mode against it (tests/test_lazy_attention.py).
 from __future__ import annotations
 
 import functools
-import os
-
 import jax
 import jax.numpy as jnp
+
+from mic_tpu.core.knobs import override
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -213,9 +213,11 @@ def build_ancestry_mask(ancestry: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarra
     return sel.transpose(0, 1, 3, 2).reshape(b, k * t, k).astype(jnp.int8)
 
 
-def resolve_mode(max_length: int) -> str:
-    """MIC_TPU_FUSED_LAZY_ATTN: "0" (XLA chain), "1" (blocked kernel),
-    "2" (DMA pass-through kernel) — or unset = auto.
+def resolve_mode(max_length: int, mode: str = "auto") -> str:
+    """Lazy decode-attention impl: "0" (XLA chain), "1" (blocked kernel),
+    "2" (DMA pass-through kernel), "auto".  ``mode`` is
+    DecodeConfig.lazy_attn; the MIC_TPU_FUSED_LAZY_ATTN env override wins
+    when set (resolved via core/knobs.py).
 
     ``max_length`` is currently unused (kept so a future length-dependent
     policy doesn't change call sites — the round-2 auto policy keyed on
@@ -227,9 +229,11 @@ def resolve_mode(max_length: int) -> str:
     PERFORMANCE.md; the reference names 128 as its intended scale-up,
     README.md:112).  Exact math — bit-identical attention output to the
     blocked kernel, same softmax as the XLA chain."""
-    raw = os.environ.get("MIC_TPU_FUSED_LAZY_ATTN")
+    raw = override("MIC_TPU_FUSED_LAZY_ATTN")
     if raw is not None:
         return raw
+    if mode != "auto":
+        return mode
     if jax.default_backend() != "tpu":
         return "0"
     return "2"
@@ -354,7 +358,7 @@ def fused_lazy_attention(
 # ---------------------------------------------------------------------------
 
 
-def _dma_group(batch: int, per_image_bytes: int) -> int:
+def _dma_group(batch: int, per_image_bytes: int, group: int = 0) -> int:
     """Images per grid cell: fewer, larger DMAs (one per G images).  Fixed
     per-cell overhead measured ~0.65 us (278.2 / 268.9 / 259.5 / 247.7
     captions/s/chip at G=8/4/2/1, B=256).  G=8's double-buffered K/V slots
@@ -365,16 +369,17 @@ def _dma_group(batch: int, per_image_bytes: int) -> int:
     flagship shape, ~26 MB budget) is nowhere near the hardware.  G=16
     (~67 MB scratch) measured 277.8 — the marginal cell-overhead saving no
     longer pays for the VMEM residency — so the ladder stops at 8.
-    MIC_TPU_DMA_G overrides for experiments."""
-    raw = os.environ.get("MIC_TPU_DMA_G")
+    ``group`` is DecodeConfig.dma_group (0 = auto ladder); MIC_TPU_DMA_G
+    overrides (core/knobs.py)."""
+    raw = override("MIC_TPU_DMA_G")
     if raw:
         try:
-            g = int(raw)
+            group = int(raw)
         except ValueError:
-            g = 0
-        if g > 0 and batch % g == 0:
-            return g
-        # invalid / 0 / non-divisor: fall through to the auto policy
+            group = 0
+    if group > 0 and batch % group == 0:
+        return group
+    # 0 / invalid / non-divisor: the auto policy
     for g in (8, 4, 2, 1):
         if batch % g == 0 and g * per_image_bytes <= 4 * 1024 * 1024:
             return g
@@ -659,7 +664,7 @@ def supports_dma(cache_k, beams: int, num_heads: int, head_dim: int) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
 def fused_lazy_attention_dma(
     q: jnp.ndarray,        # (B, K, HD) — query, already head_dim**-0.5-scaled
     cache_k,               # merged (B*K, T, H*Dh) bf16 — or int8 dict
@@ -671,6 +676,7 @@ def fused_lazy_attention_dma(
     beams: int,
     num_heads: int,
     interpret: bool = False,
+    dma_group: int = 0,      # DecodeConfig.dma_group (0 = auto ladder)
 ):
     """-> (out (B, K, HD), cache_k, cache_v): same math as
     fused_lazy_attention, but the caches flow THROUGH the kernel (aliased)
@@ -696,7 +702,7 @@ def fused_lazy_attention_dma(
     t = kv.shape[1]
     jt = k * t
     esize = 1 if quant else 2
-    G = _dma_group(b, k * t * hd * esize)
+    G = _dma_group(b, k * t * hd * esize, dma_group)
     TC = _dma_chunk(t, quant)
 
     # Mosaic's default scoped-VMEM budget is 16 MB, which is what kept G=8

@@ -186,6 +186,7 @@ class Trainer:
                     params["final_logits_bias"], batch["labels"],
                     loss_mask, label_smoothing, tc.ce_chunk,
                     ce_embedding(shadow),
+                    mode=tc.flash_ce, dl_max_rows=tc.dl_max_rows,
                 )
             logits = model(
                 cp, pixels, batch["decoder_input_ids"],

@@ -402,3 +402,49 @@ def test_sampling_no_repeat_ngram_never_emits_banned(setup):
             toks = toks[: toks.index(dec.eos_token_id) + 1]
         bigrams = list(zip(toks, toks[1:]))
         assert len(bigrams) == len(set(bigrams)), toks
+
+
+@pytest.mark.parametrize("num_beams", [1, 4])
+def test_eos_positions_pin_per_image_lengths(setup, num_beams):
+    """Pinned per-image EOS positions (the deterministic early-exit serving
+    protocol, search._force_eos_candidates): row b's sequence ends with EOS
+    exactly at output position eos_positions[b], pad after, and composes with
+    a forced BOS at position 1."""
+    model, params, px = setup
+    dec = model.config.decoder
+    eos_pos = jnp.asarray([3, 7], jnp.int32)
+    out = model.generate(
+        params, px, max_length=12, num_beams=num_beams,
+        forced_bos_token_id=5, forced_eos_token_id=None,
+        early_stopping=num_beams > 1, eos_positions=eos_pos,
+    )
+    seqs = np.asarray(out.sequences)
+    for b, pos in enumerate([3, 7]):
+        assert seqs[b, 1] == 5  # forced BOS composes
+        assert seqs[b, pos] == dec.eos_token_id, seqs[b]
+        # EXACT length: EOS is banned before the pinned position even when
+        # the model would naturally emit it earlier
+        assert (seqs[b, 1:pos] != dec.eos_token_id).all(), seqs[b]
+        assert (seqs[b, pos + 1:] == dec.pad_token_id).all(), seqs[b]
+        # generated prefix is live (not pad-collapsed)
+        assert (seqs[b, 1:pos] != dec.pad_token_id).any(), seqs[b]
+
+
+def test_eos_positions_jit_under_jit(setup):
+    """eos_positions is a traced array: the same jitted fn serves any pinned
+    length distribution without recompiles."""
+    model, params, px = setup
+    dec = model.config.decoder
+
+    @jax.jit
+    def gen(params, px, eos_pos):
+        return model.generate(
+            params, px, max_length=10, num_beams=4,
+            forced_eos_token_id=None, early_stopping=True,
+            eos_positions=eos_pos,
+        ).sequences
+
+    s1 = np.asarray(gen(params, px, jnp.asarray([2, 4], jnp.int32)))
+    s2 = np.asarray(gen(params, px, jnp.asarray([5, 3], jnp.int32)))
+    assert s1[0, 2] == dec.eos_token_id and s1[1, 4] == dec.eos_token_id
+    assert s2[0, 5] == dec.eos_token_id and s2[1, 3] == dec.eos_token_id
