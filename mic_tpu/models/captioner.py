@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from mic_tpu.core.config import CaptionerConfig
+from mic_tpu.core.knobs import experimental, override
 from mic_tpu.generate import search
 from mic_tpu.generate.processors import build_warpers
 from mic_tpu.models import clip_vit, mbart_decoder
@@ -33,23 +34,25 @@ from mic_tpu.nn.layers import Params, dense, init_dense, init_embed
 from typing import NamedTuple
 
 
-def _resolve_cache_segments(max_length: int) -> tuple:
-    """MIC_TPU_CACHE_SEGMENTS: "0"/"off"/"" = off, "auto" = 4 linear phases,
+def _resolve_cache_segments(max_length: int, spec: str = "auto") -> tuple:
+    """``spec`` is DecodeConfig.cache_segments (env MIC_TPU_CACHE_SEGMENTS
+    wins when set — resolved by the caller): "0"/"off"/"" = off, "on" = 4
+    linear phases, "auto" = platform default ("on" for TPU, off elsewhere),
     or an explicit comma list of cache lengths (e.g. "16,32,48,64").
     Segments are clamped/deduped to (0, max_length] and always end at
     max_length so every write position fits; decoding shorter than max_length
     is phased through growing static cache sizes (search._run_segmented).
 
-    DEFAULT (unset) is "auto" on TPU — bit-identical to the unsegmented loop
-    (tests/test_generate.py) and +11-16% captions/s/chip (PERFORMANCE.md) —
-    and off elsewhere (4x decode-graph compiles are pure overhead for the
-    CPU test suite)."""
-    raw = os.environ.get("MIC_TPU_CACHE_SEGMENTS")
-    if raw is None:
-        raw = "auto" if jax.default_backend() == "tpu" else ""
+    The TPU-on default is bit-identical to the unsegmented loop
+    (tests/test_generate.py) and +11-16% captions/s/chip (PERFORMANCE.md);
+    off-TPU the 4x decode-graph compiles are pure overhead for the CPU test
+    suite."""
+    raw = spec
+    if raw == "auto":
+        raw = "on" if jax.default_backend() == "tpu" else ""
     if not raw or raw in ("0", "off"):
         return ()
-    if raw == "auto":
+    if raw == "on":
         # intermediate segments round UP to multiples of 8: the v2 DMA
         # decode-attention kernel (the max_length>64 default) slices cache
         # rows in 8-aligned chunks (lazy_attention.supports_dma), and a
@@ -324,11 +327,12 @@ class Captioner:
         """Caption a batch of images. Jittable; all defaults come from
         config.generation, overridable per call (max_length, num_beams,
         forced_bos_token_id, decoder_start_token_id, do_sample, ...)."""
-        quantize = overrides.pop("quantize", None) or os.environ.get(
-            "MIC_TPU_DECODE_QUANT"
+        dcfg = self.config.decode
+        quantize = overrides.pop("quantize", None) or override(
+            "MIC_TPU_DECODE_QUANT", dcfg.quantize
         )
-        kv_quant = overrides.pop("kv_quant", None) or os.environ.get(
-            "MIC_TPU_KV_QUANT"
+        kv_quant = overrides.pop("kv_quant", None) or override(
+            "MIC_TPU_KV_QUANT", dcfg.kv_quant
         ) or None
         # (batch,) pinned per-image EOS positions — deterministic early-exit
         # serving protocol (search.generate docstring); a traced array, so it
@@ -357,9 +361,13 @@ class Captioner:
         # per step instead of three, bit-identical columns (fuse_qkv_params).
         # Built BEFORE int8 quantization so the fused kernel is quantized
         # per-channel like any other dense.
-        if gen.num_beams > 1 and (
-            os.environ.get("MIC_TPU_LAZY_CACHE", "1") == "1"
-        ) and os.environ.get("MIC_TPU_FUSED_QKV", "1") == "1":
+        lazy_cache = override(
+            "MIC_TPU_LAZY_CACHE", "1" if dcfg.lazy_cache else "0"
+        ) == "1"
+        fused_qkv = override(
+            "MIC_TPU_FUSED_QKV", "1" if dcfg.fused_qkv else "0"
+        ) == "1"
+        if gen.num_beams > 1 and lazy_cache and fused_qkv:
             params = dict(params)
             params["decoder"] = mbart_decoder.fuse_qkv_params(params["decoder"])
 
@@ -378,9 +386,7 @@ class Captioner:
         # physical beam permute and one in-place cache column write per layer
         # instead of double-buffering the whole cache through the layer scan.
         # MIC_TPU_LAZY_CACHE=0 falls back to the physically-permuted cache.
-        lazy = gen.num_beams > 1 and (
-            os.environ.get("MIC_TPU_LAZY_CACHE", "1") == "1"
-        )
+        lazy = gen.num_beams > 1 and lazy_cache
         on_tpu = jax.default_backend() == "tpu"
         # kernel mode is resolved ONCE from the full max_length (see
         # lazy_attention.resolve_mode) and implied to the decode steps via
@@ -409,22 +415,23 @@ class Captioner:
         # (~38% less self-attn cache read traffic at max_length 64 with 4
         # linear segments) — see search._run_segmented.  XLA-chain path only
         # (the DMA kernel prefix-bounds its own stream, above).
-        cache_segments = (
-            ()  # explicit MIC_TPU_CACHE_SEGMENTS still honored (experiments)
-            if dma_path and os.environ.get("MIC_TPU_CACHE_SEGMENTS") is None
-            else _resolve_cache_segments(gen.max_length)
-        )
+        seg_spec = override("MIC_TPU_CACHE_SEGMENTS", None)
+        if seg_spec is None:
+            seg_spec = dcfg.cache_segments
+            if dma_path and seg_spec == "auto":
+                seg_spec = ""  # the DMA kernel prefix-bounds its own stream
+        cache_segments = _resolve_cache_segments(gen.max_length, seg_spec)
         first_len = cache_segments[0] if cache_segments else gen.max_length
         # Merged (B*K, T, H*Dh) self-KV layout for the fused Pallas lazy
         # decode attention (ops/lazy_attention.py): XLA lane-pads the
         # canonical (..., H=16, Dh=64) trailing dims to (16, 128) — 2x the
         # physical cache bytes AND a ~9.9 ms/layer copy into the kernel's
         # merged view (profiled). Storing merged makes that view a bitcast.
-        # Must mirror _decoder_step_lazy's fused-kernel gate exactly; env
-        # MIC_TPU_MERGED_KV=1 forces it (CPU equivalence tests).
+        # Must mirror _decoder_step_lazy's fused-kernel gate exactly;
+        # MIC_TPU_EXPERIMENTAL=merged_kv forces it (CPU equivalence tests).
         seg_lens = cache_segments if cache_segments else (gen.max_length,)
         merged = lazy and (
-            os.environ.get("MIC_TPU_MERGED_KV") == "1"
+            experimental("merged_kv") == "1"
             or (
                 on_tpu
                 and (kv_quant is None or fla == "2")
@@ -461,7 +468,7 @@ class Captioner:
         # (~1.0 ms/layer standalone at any grouping G in {4, 8, 16}).  Kept
         # for hypothetically larger encoders, where S in the hundreds fills
         # the MXU pipeline.
-        merged_cross = lazy and os.environ.get("MIC_TPU_MERGED_CROSS") == "1"
+        merged_cross = lazy and experimental("merged_cross") == "1"
         cache = self.init_decode_cache(
             params, enc_states, first_len, beams=gen.num_beams, lazy=lazy,
             kv_quant=kv_quant if lazy else None,  # quant KV is lazy-path only
@@ -476,11 +483,13 @@ class Captioner:
         # paths only.  DEFAULT ON for TPU with the bucket select
         # (BLEU-validated vs the exact path, tools/validate_fast_decode.py);
         # MIC_TPU_FUSED_HEAD=0 opts out.
+        fh = override("MIC_TPU_FUSED_HEAD", dcfg.fused_head)
+        if fh == "auto":
+            fh = "1" if on_tpu else "0"
         fused_head = (
             not gen.do_sample
             and self.config.tie_word_embeddings
-            and os.environ.get("MIC_TPU_FUSED_HEAD", "1" if on_tpu else "0")
-            == "1"
+            and fh == "1"
         )
         if fused_head:
             from mic_tpu.ops.fused_head import fused_head_topk, fused_head_topk_q8
@@ -489,9 +498,9 @@ class Captioner:
             # running max over vocab chunks — elementwise accumulators, the
             # fast TPU path, approx_max_k family) or "exact"/"window".  CPU
             # defaults to exact so fused == dense bit-for-bit in tests.
-            sel = os.environ.get(
-                "MIC_TPU_FUSED_SELECT", "bucket" if on_tpu else "exact"
-            )
+            sel = override("MIC_TPU_FUSED_SELECT", dcfg.fused_select)
+            if sel == "auto":
+                sel = "bucket" if on_tpu else "exact"
 
             bias = params["final_logits_bias"].reshape(-1)
             if quantize == "int8":

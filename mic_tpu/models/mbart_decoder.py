@@ -43,16 +43,15 @@ from mic_tpu.nn.layers import (
 )
 from mic_tpu.nn.stacked import init_stacked, scan_apply
 
-import os
-
-_FUSED_DECODE = os.environ.get("MIC_TPU_FUSED_DECODE", "0") == "1"
+from mic_tpu.core.knobs import experimental, override
 
 
 def _attn_buckets(max_len: int) -> tuple:
     """Static cache-read prefix lengths for the lazy decode attention.
 
-    ``MIC_TPU_ATTN_BUCKETS`` — "auto" uses half/full, or a comma list like
-    "16,32,64"; default/""/"0" disables (full-window reads). At step index
+    ``MIC_TPU_EXPERIMENTAL=attn_buckets=auto|<list>`` — "auto" uses
+    half/full, or a comma-free digit list like "16.32.64"; default/""/"0"
+    disables (full-window reads). At step index
     only index+1 positions are live, so the shortest covering prefix should
     save ~25% of the cache stream (bit-identical results — masked tails
     contribute exact zeros to the softmax). MEASURED NEGATIVE at the
@@ -60,12 +59,12 @@ def _attn_buckets(max_len: int) -> tuple:
     buckets): XLA re-materializes the sliced operands around the switch
     branches, costing more than the skipped tail reads. Kept as an opt-in
     documented knob; may win at much longer max_length."""
-    spec = os.environ.get("MIC_TPU_ATTN_BUCKETS", "0")
+    spec = experimental("attn_buckets", "0")
     if spec in ("", "0"):
         return ()
-    if spec == "auto":
+    if spec in ("auto", "1"):
         return (max_len // 2, max_len) if max_len >= 16 else ()
-    return tuple(int(s) for s in spec.split(","))
+    return tuple(int(s) for s in spec.replace(".", ",").split(","))
 
 
 def fuse_qkv_params(decoder_params: Params) -> Params:
@@ -314,7 +313,7 @@ def _decoder_step_fused(
     (mic_tpu/ops/decode_attention.py): the self-attention cache rides the scan
     CARRY and is updated in place by the kernel (aliased), with attention
     reading only the live ceil((index+1)/chunk) cache chunks.
-    Enable with MIC_TPU_FUSED_DECODE=1."""
+    Enable with MIC_TPU_EXPERIMENTAL=fused_decode."""
     from mic_tpu.nn.layers import merge_heads, split_heads
     from mic_tpu.ops.decode_attention import decode_attention
 
@@ -422,7 +421,7 @@ def _decoder_step_lazy(
     # step and shared by all layers.
     amask = None
     dma = False
-    fla = os.environ.get("MIC_TPU_FUSED_LAZY_ATTN")
+    fla = override("MIC_TPU_FUSED_LAZY_ATTN")
     if fla is None:
         # the captioner encodes its lazy_attention.resolve_mode choice in the
         # cache layout: merged (B*K, T, H*Dh) storage exists only for the
@@ -454,7 +453,7 @@ def _decoder_step_lazy(
         None if enc_mask is None else enc_mask.astype(jnp.bool_)[:, None, None, :]
     )
     cross_kernel = (
-        os.environ.get("MIC_TPU_FUSED_CROSS_ATTN", "0") == "1"
+        experimental("fused_cross_attn", "0") == "1"
         and jax.default_backend() == "tpu"
         and cross_mask is None
         and (cfg.num_heads * cfg.head_dim) % 128 == 0
@@ -464,7 +463,7 @@ def _decoder_step_lazy(
     # path's native int8 dot has its own fused pipeline).  Opt-in: measured
     # SLOWER than XLA's MLP mega-fusion (PERFORMANCE.md).
     mlp_kernel = (
-        os.environ.get("MIC_TPU_FUSED_MLP", "0") == "1"
+        experimental("fused_mlp", "0") == "1"
         and jax.default_backend() == "tpu"
         and "kernel" in params["layers"]["fc1"]
         and "bias" in params["layers"]["fc1"]
@@ -547,7 +546,7 @@ def decoder_step(
             params, shared, token_ids, cache, cfg, dtype, enc_mask, beams,
             enc_len=enc_len,
         )
-    if _FUSED_DECODE:
+    if experimental("fused_decode", "0") == "1":
         return _decoder_step_fused(
             params, shared, token_ids, cache, cfg, dtype, enc_mask, beams
         )

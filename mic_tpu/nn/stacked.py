@@ -9,11 +9,12 @@ natural per-layer remat boundary.
 
 from __future__ import annotations
 
-import os
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+
+from mic_tpu.core.knobs import experimental
 
 
 def init_stacked(key, num_layers: int, init_fn: Callable[[jax.Array], Any]):
@@ -59,7 +60,7 @@ def scan_apply(
     # layer into the preallocated output) and whose per-layer forward is
     # recomputed via jax.vjp (== full remat; the "masks" policy's saved
     # dropout masks do not apply on this path).  Experiment knob.
-    if os.environ.get("MIC_TPU_CUSTOM_SCAN_VJP") == "1":
+    if experimental("custom_scan_vjp") == "1":
         return _scan_custom_vjp(scan_body, h, (stacked_params, idxs,
                                                per_layer_xs))
     if remat and remat != "none":
@@ -73,13 +74,13 @@ def scan_apply(
         elif remat not in (True, "full"):
             raise ValueError(f"unknown remat policy: {remat!r}")
         scan_body = jax.checkpoint(scan_body, prevent_cse=False, policy=policy)
-    # MIC_TPU_UNROLL_LAYERS=1: apply the layers as a Python loop over STATIC
+    # MIC_TPU_EXPERIMENTAL=unroll_layers: apply the layers as a Python loop over STATIC
     # param slices instead of lax.scan.  Compiles the body L times (slower
     # build) but frees XLA from the scan backward's structural costs — the
     # per-layer grad-slab dynamic-update-slices and the xs->ys cache
     # double-buffering become static-index updates it can fuse.  Experiment
     # knob for the train step (PERFORMANCE.md train budget).
-    if os.environ.get("MIC_TPU_UNROLL_LAYERS") == "1":
+    if experimental("unroll_layers") == "1":
         ys_all = []
         for l in range(L):
             xs_l = jax.tree.map(
@@ -91,7 +92,7 @@ def scan_apply(
     # _split_transpose splits the scan's backward into a separate loop, which
     # can change how XLA lays out the per-layer grad-slab updates; measured
     # experiment knob (see PERFORMANCE.md train budget: grad-stack DUS row)
-    split = os.environ.get("MIC_TPU_SCAN_SPLIT_TRANSPOSE") == "1"
+    split = experimental("scan_split_transpose") == "1"
     return jax.lax.scan(
         scan_body, h, (stacked_params, idxs, per_layer_xs),
         _split_transpose=split,

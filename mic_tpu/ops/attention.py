@@ -16,11 +16,12 @@ Conventions:
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from mic_tpu.core.knobs import experimental
 
 _NEG_INF = jnp.finfo(jnp.float32).min
 
@@ -49,14 +50,14 @@ def dot_product_attention(
     # Dh=64 (both towers' full-sequence attention) XLA's bqhd lowering costs
     # ~50 ms/step of layout copies + pathological batched-tiny-GEMM emitters
     # in the train step; the kernel reads the projections' natural row-major
-    # layout and runs fwd AND bwd in Pallas.  OPT-IN (MIC_TPU_SMALL_ATTN=1):
+    # layout and runs fwd AND bwd in Pallas.  OPT-IN (MIC_TPU_EXPERIMENTAL=small_attn):
     # first end-to-end train measurement was a wash (382.2 vs the 389.2
     # XLA-chain baseline, within the ~4% run-to-run spread) — see
     # PERFORMANCE.md; stays off until a same-session A/B shows a win.
     if (
         not active_dropout
         and not return_weights
-        and os.environ.get("MIC_TPU_SMALL_ATTN", "0") == "1"
+        and experimental("small_attn", "0") == "1"
         and jax.default_backend() == "tpu"
     ):
         from mic_tpu.ops import small_attention
@@ -72,7 +73,7 @@ def dot_product_attention(
 def _xla_attention(q, k, v, mask, dropout_rate=0.0, dropout_rng=None,
                    return_weights=False):
     dtype = q.dtype
-    if os.environ.get("MIC_TPU_ATTN_BHTD") == "1" and not return_weights:
+    if experimental("attn_bhtd") == "1" and not return_weights:
         # layout experiment: hand XLA operands already in the batched-GEMM
         # (B, H, T, D) order instead of letting it insert its own
         # transposes around the bqhd einsums — the train profile shows

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import os
+from mic_tpu.core.knobs import experimental
 
 from mic_tpu.ops.lazy_attention import _attend_tiles, _tile_consts
 
@@ -52,8 +52,8 @@ def _cross_group(batch: int) -> int:
     overhead (~0.65 us measured for the lazy-attention kernel — at B=256
     that is ~0.17 ms/layer of pure grid overhead); grouping G images per
     cell with the constant masks hoisted amortizes it the same way the v3
-    DMA kernel's G=8 ladder does.  MIC_TPU_CROSS_G overrides."""
-    raw = os.environ.get("MIC_TPU_CROSS_G")
+    DMA kernel's G=8 ladder does.  MIC_TPU_EXPERIMENTAL=cross_g=<G> overrides."""
+    raw = experimental("cross_g")
     if raw:
         try:
             g = int(raw)
@@ -164,8 +164,8 @@ def _kernel_cross_dma(G, beams, heads, head_dim, real_s,
 def _cross_dma_group(batch: int, per_image_bytes: int) -> int:
     """Images per grid cell for the DMA kernel (cf. lazy_attention._dma_group;
     the cross planes are small, so the ladder reaches higher).
-    MIC_TPU_CROSS_G overrides."""
-    raw = os.environ.get("MIC_TPU_CROSS_G")
+    MIC_TPU_EXPERIMENTAL=cross_g=<G> overrides."""
+    raw = experimental("cross_g")
     if raw:
         try:
             g = int(raw)

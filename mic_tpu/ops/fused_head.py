@@ -404,10 +404,11 @@ def _bucket_tiles(n: int) -> tuple[int, int]:
     — cover up to 1024 rows (the flagship batch-256 x beam-4 shape) in ONE
     tile, shrinking BV to keep scratch + x + weight double-buffer inside
     the ~16 MB VMEM: bn=1024, bv=256 is 4 MB scratch + 2 MB x + 1 MB w.
-    MIC_TPU_BUCKET_BV overrides the vocab-chunk width (perf experiments)."""
-    import os
+    MIC_TPU_EXPERIMENTAL=bucket_bv=<w> overrides the vocab-chunk width
+    (perf experiments)."""
+    from mic_tpu.core.knobs import experimental
 
-    override = os.environ.get("MIC_TPU_BUCKET_BV")
+    override = experimental("bucket_bv")
     if n <= 512:
         return n, int(override or 512)
     # 1024-row tile: runs the accumulator-output kernel (XLA finish) —

@@ -3,7 +3,7 @@
 The kernel is a documented measured NEGATIVE end-to-end (260.3 vs 268.9
 captions/s/chip at the flagship shape — XLA's decode-step MLP mega-fusion
 folds the LN prologue, residual, and next-LN reduce in with the GEMMs;
-see PERFORMANCE.md).  Kept opt-in via MIC_TPU_FUSED_MLP=1; these tests pin
+see PERFORMANCE.md).  Kept opt-in via MIC_TPU_EXPERIMENTAL=fused_mlp; these tests pin
 its math so the option stays usable.
 """
 

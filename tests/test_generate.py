@@ -221,7 +221,7 @@ def test_segmented_cache_auto_and_quant(setup, monkeypatch):
     """'auto' segment resolution + int8 KV cache survive growth (the scale
     arrays must be padded alongside the int8 values)."""
     model, params, px = setup
-    monkeypatch.setenv("MIC_TPU_CACHE_SEGMENTS", "auto")
+    monkeypatch.setenv("MIC_TPU_CACHE_SEGMENTS", "on")
     seg = model.generate(params, px, max_length=16, num_beams=4, kv_quant="int8")
     monkeypatch.setenv("MIC_TPU_CACHE_SEGMENTS", "")
     full = model.generate(params, px, max_length=16, num_beams=4, kv_quant="int8")
@@ -242,10 +242,10 @@ def test_merged_kv_layout_matches_canonical(setup, monkeypatch):
         dict(max_length=8, num_beams=4, length_penalty=0.6),
         dict(max_length=16, num_beams=4),
     ]:
-        monkeypatch.setenv("MIC_TPU_MERGED_KV", "1")
+        monkeypatch.setenv("MIC_TPU_EXPERIMENTAL", "merged_kv")
         monkeypatch.setenv("MIC_TPU_CACHE_SEGMENTS", "5,9,16")
         merged = model.generate(params, px, **kw)
-        monkeypatch.delenv("MIC_TPU_MERGED_KV")
+        monkeypatch.delenv("MIC_TPU_EXPERIMENTAL")
         monkeypatch.setenv("MIC_TPU_CACHE_SEGMENTS", "")
         canon = model.generate(params, px, **kw)
         np.testing.assert_array_equal(
@@ -263,9 +263,9 @@ def test_merged_cross_cache_matches_canonical(setup, monkeypatch):
     (L, B, S, H, Dh) XLA chain through a full generate.  Off-TPU the kernel
     runs in interpret mode, so the exact kernel program is what's tested."""
     model, params, px = setup
-    monkeypatch.setenv("MIC_TPU_MERGED_CROSS", "1")
+    monkeypatch.setenv("MIC_TPU_EXPERIMENTAL", "merged_cross")
     merged = model.generate(params, px, max_length=8, num_beams=4)
-    monkeypatch.setenv("MIC_TPU_MERGED_CROSS", "0")
+    monkeypatch.delenv("MIC_TPU_EXPERIMENTAL")
     canon = model.generate(params, px, max_length=8, num_beams=4)
     np.testing.assert_array_equal(
         np.asarray(merged.sequences), np.asarray(canon.sequences)
@@ -277,13 +277,13 @@ def test_merged_cross_cache_matches_canonical(setup, monkeypatch):
 
 @pytest.mark.slow
 def test_bucketed_attention_reads_match_full_window(setup, monkeypatch):
-    """Prefix-bucketed cache reads (MIC_TPU_ATTN_BUCKETS) must be
+    """Prefix-bucketed cache reads (MIC_TPU_EXPERIMENTAL=attn_buckets) must be
     bit-identical to full-window reads: masked tail positions contribute
     exact zeros to the softmax regardless of the static slice length."""
     model, params, px = setup
-    monkeypatch.setenv("MIC_TPU_ATTN_BUCKETS", "4,8,16")
+    monkeypatch.setenv("MIC_TPU_EXPERIMENTAL", "attn_buckets=4.8.16")
     bucketed = model.generate(params, px, max_length=16, num_beams=4)
-    monkeypatch.setenv("MIC_TPU_ATTN_BUCKETS", "0")
+    monkeypatch.delenv("MIC_TPU_EXPERIMENTAL")
     full = model.generate(params, px, max_length=16, num_beams=4)
     np.testing.assert_array_equal(
         np.asarray(bucketed.sequences), np.asarray(full.sequences)

@@ -43,15 +43,13 @@ def _run(body, remat="full"):
     return f
 
 
-@pytest.mark.parametrize("knob", [
-    "MIC_TPU_UNROLL_LAYERS", "MIC_TPU_CUSTOM_SCAN_VJP",
-])
+@pytest.mark.parametrize("knob", ["unroll_layers", "custom_scan_vjp"])
 def test_knob_matches_default_scan(setup, monkeypatch, knob):
     body, params, h0, enc = setup
     f = _run(body)
     val = f(h0, params)
     grads = jax.grad(f, argnums=(0, 1))(h0, params)
-    monkeypatch.setenv(knob, "1")
+    monkeypatch.setenv("MIC_TPU_EXPERIMENTAL", knob)
     val2 = f(h0, params)
     grads2 = jax.grad(f, argnums=(0, 1))(h0, params)
     np.testing.assert_allclose(np.asarray(val), np.asarray(val2), rtol=1e-5)
@@ -77,7 +75,7 @@ def test_custom_vjp_closed_over_array_grad(setup, monkeypatch):
         return out.sum() + ys.sum()
 
     g = jax.grad(f)(enc0, h0, params)
-    monkeypatch.setenv("MIC_TPU_CUSTOM_SCAN_VJP", "1")
+    monkeypatch.setenv("MIC_TPU_EXPERIMENTAL", "custom_scan_vjp")
     g2 = jax.grad(f)(enc0, h0, params)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g2),
                                rtol=1e-5, atol=1e-7)
