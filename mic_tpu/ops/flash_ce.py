@@ -108,6 +108,105 @@ def _ce_fwd_kernel(nc,
         )
 
 
+def _ce_fwd_save_kernel(nc,
+                        h_ref, w_ref, b_ref,
+                        out_ref, lg_ref, m_ref, s_ref, z_ref, buf_ref):
+    """The pipelined forward cell, additionally SAVING each logits tile to
+    HBM in the storage dtype (bf16) — the "save" backward then skips the
+    whole 2*N*D*V-FLOP logits recompute (flash_ce_backward_save).  The
+    accumulators still fold the exact f32 tiles, so loss/lse are bit-equal
+    to the non-saving kernel; only the backward sees the rounded logits."""
+    c = pl.program_id(1)
+    rb = out_ref.shape[0]
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full((rb, 1), NEG, jnp.float32)
+        s_ref[:] = jnp.zeros((rb, 1), jnp.float32)
+        z_ref[:] = jnp.zeros((rb, 1), jnp.float32)
+
+    @pl.when(c < nc)
+    def _():
+        tile = jax.lax.dot_general(
+            h_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[:].astype(jnp.float32)                    # (RB, VC)
+        buf_ref[c % 2] = tile
+        lg_ref[:] = tile.astype(lg_ref.dtype)
+
+    @pl.when(c > 0)
+    def _():
+        logits = buf_ref[(c - 1) % 2]
+        mx = jnp.max(logits, axis=1, keepdims=True)
+        mnew = jnp.maximum(m_ref[:], mx)
+        s_ref[:] = (
+            s_ref[:] * jnp.exp(m_ref[:] - mnew)
+            + jnp.sum(jnp.exp(logits - mnew), axis=1, keepdims=True)
+        )
+        m_ref[:] = mnew
+        z_ref[:] += jnp.sum(logits, axis=1, keepdims=True)
+
+    @pl.when(c == nc)
+    def _():
+        lse = m_ref[:] + jnp.log(s_ref[:])
+        out_ref[:] = jnp.concatenate(
+            [lse, z_ref[:], jnp.zeros((rb, 126), jnp.float32)], axis=1,
+        )
+
+
+def _lse_main_save(h, emb, bias, rb, vc, v_main, interpret):
+    """_lse_main variant returning (lse, zsum, logits_main (N, v_main) bf16)."""
+    n, d = h.shape
+    v = emb.shape[0]
+    nc = v_main // vc
+    kern = functools.partial(_ce_fwd_save_kernel, nc)
+    out, lg = pl.pallas_call(
+        kern,
+        grid=(n // rb, nc + 1),
+        in_specs=[
+            pl.BlockSpec((rb, d), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((vc, d), lambda r, c: (jnp.minimum(c, nc - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vc), lambda r, c: (0, jnp.minimum(c, nc - 1)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rb, 128), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+            # epilogue cell re-addresses (and re-emits, unchanged) the last
+            # tile: its dot is pl.when-guarded off
+            pl.BlockSpec((rb, vc), lambda r, c: (r, jnp.minimum(c, nc - 1)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n, v_main), jnp.bfloat16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rb, 1), jnp.float32),
+            pltpu.VMEM((rb, 1), jnp.float32),
+            pltpu.VMEM((rb, 1), jnp.float32),
+            pltpu.VMEM((2, rb, vc), jnp.float32),   # ping-pong logits
+        ],
+        interpret=interpret,
+        # ping-pong f32 scratch + the bf16 logits out block on top of the
+        # non-saving kernel's 48 MB budget
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=80 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * d * v_main,
+            bytes_accessed=(n // rb) * 2 * v_main * d + 2 * n * d
+            + 2 * n * v_main,
+            transcendentals=n * v_main,
+        ),
+    )(
+        h, emb, bias.reshape(1, v),
+    )
+    return out[:, 0], out[:, 1], lg
+
+
 def _lse_main(h, emb, bias, rb, vc, v_main, interpret):
     """Online-softmax (lse, sum_logits) over the first ``v_main`` (divisible
     by vc) rows of the FULL (V, D) table: the grid stops at the last full
@@ -156,8 +255,9 @@ def _lse_main(h, emb, bias, rb, vc, v_main, interpret):
     return out[:, 0], out[:, 1]
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def flash_ce_forward(h, emb, bias, labels, interpret=False, emb_cast=None):
+@functools.partial(jax.jit, static_argnums=(4, 6))
+def flash_ce_forward(h, emb, bias, labels, interpret=False, emb_cast=None,
+                     save=False):
     """h (N, D) bf16/f32, emb (V, D), bias (V,), labels (N,) int32 ->
     (lse, label_logit, sum_logits), each (N,) f32.  N must be a multiple
     of the row band (wrapper pads); V may be ragged (the tail past the
@@ -168,7 +268,11 @@ def flash_ce_forward(h, emb, bias, labels, interpret=False, emb_cast=None):
     shadow, train/shadow.py) — skips the full-table astype here.  Either
     way the kernel reads the FULL table with its grid bounded to the last
     full chunk, so no (v_main, D) slice ever materializes (the slice
-    profiled at 1.6 ms/step at the flagship shape)."""
+    profiled at 1.6 ms/step at the flagship shape).
+
+    ``save=True`` additionally returns (logits_main (N, v_main) bf16,
+    tail_logits (N, V - v_main) f32) for flash_ce_backward_save — the
+    backward that never recomputes the logits GEMM."""
     n, d = h.shape
     v = emb.shape[0]
     rb, vc = _fwd_tiles(n, v)
@@ -176,10 +280,19 @@ def flash_ce_forward(h, emb, bias, labels, interpret=False, emb_cast=None):
     bias_f = bias.astype(jnp.float32)
     w = emb_cast if emb_cast is not None else emb.astype(h.dtype)
 
+    logits_main = None
     if v_main > 0:
-        lse, zsum = _lse_main(h, w, bias_f, rb, vc, v_main, interpret)
+        if save:
+            lse, zsum, logits_main = _lse_main_save(
+                h, w, bias_f, rb, vc, v_main, interpret
+            )
+        else:
+            lse, zsum = _lse_main(h, w, bias_f, rb, vc, v_main, interpret)
     else:
         lse, zsum = None, jnp.zeros((n,), jnp.float32)
+        if save:
+            logits_main = jnp.zeros((n, 0), jnp.bfloat16)
+    tail = None
     if v_main < v:
         # ragged tail: < vc columns, one cheap XLA GEMM (f32 MXU accum,
         # same numerics as the kernel's dot_general)
@@ -201,6 +314,10 @@ def flash_ce_forward(h, emb, bias, labels, interpret=False, emb_cast=None):
         "nd,nd->n", h.astype(jnp.float32), emb_rows.astype(jnp.float32)
     ) + jnp.take(bias_f, labels)
 
+    if save:
+        if tail is None:
+            tail = jnp.zeros((n, 0), jnp.float32)
+        return lse, lbl, zsum, logits_main, tail
     return lse, lbl, zsum
 
 
@@ -378,6 +495,205 @@ def flash_ce_backward(h, emb, bias, labels, lse, rowscale,
         gw,
         gb.reshape(v),
     )
+
+
+def _ce_gw_save_kernel(vc, conf, low,
+                       lg_ref, h_ref, y_ref, lse_ref, rs_ref,
+                       gw_ref, gb_ref):
+    """grad_W from SAVED logits: no W stream, no logits recompute — the
+    only MXU work is the dl^T @ h contraction itself (the demb GEMM's
+    unavoidable 2*N*V*D FLOPs).  Grid covers full chunks only (the ragged
+    tail is XLA in the wrapper), so no vocab-validity masking."""
+    r = pl.program_id(1)
+    c = pl.program_id(0)
+    rb = h_ref.shape[0]
+
+    logits = lg_ref[:].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rb, vc), 1) + c * vc
+    p = jnp.exp(logits - lse_ref[:])
+    onehot = col == y_ref[:]
+    target = low + (conf - low) * onehot.astype(jnp.float32)
+    dl = (p - target) * rs_ref[:]                           # (RB, VC) f32
+    dlb = dl.astype(h_ref.dtype)
+
+    part_w = jax.lax.dot_general(
+        dlb, h_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # (VC, D)
+    part_b = jnp.sum(dl, axis=0, keepdims=True)             # (1, VC)
+
+    @pl.when(r == 0)
+    def _():
+        gw_ref[:] = part_w
+        gb_ref[:] = part_b
+
+    @pl.when(r > 0)
+    def _():
+        gw_ref[:] += part_w
+        gb_ref[:] += part_b
+
+
+def _ce_gh_save_kernel(vc, conf, low,
+                       lg_ref, w_ref, y_ref, lse_ref, rs_ref, gh_ref):
+    """grad_h from SAVED logits: streams W once per row band for the
+    dl @ W contraction, never recomputes the logits tile."""
+    c = pl.program_id(1)
+    rb = gh_ref.shape[0]
+
+    logits = lg_ref[:].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rb, vc), 1) + c * vc
+    p = jnp.exp(logits - lse_ref[:])
+    onehot = col == y_ref[:]
+    target = low + (conf - low) * onehot.astype(jnp.float32)
+    dl = ((p - target) * rs_ref[:]).astype(w_ref.dtype)
+
+    part = jax.lax.dot_general(
+        dl, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # (RB, D)
+
+    @pl.when(c == 0)
+    def _():
+        gh_ref[:] = part
+
+    @pl.when(c > 0)
+    def _():
+        gh_ref[:] += part
+
+
+def _save_tiles(n, v_main):
+    """(rb_gw, vc_gw, rb_gh, vc_gh) — vc must divide v_main (which the
+    forward built as a multiple of its own chunk, a power-of-two >= 128)."""
+    rb_gw = 256 if n % 256 == 0 else n
+    vc_gw = 1024
+    while vc_gw > 128 and v_main % vc_gw:
+        vc_gw //= 2
+    rb_gh = 1024 if n % 1024 == 0 else n
+    vc_gh = 512
+    while vc_gh > 128 and v_main % vc_gh:
+        vc_gh //= 2
+    return rb_gw, vc_gw, rb_gh, vc_gh
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def flash_ce_backward_save(h, emb, bias, labels, lse, rowscale,
+                           label_smoothing, out_dtype_name: str = "bfloat16",
+                           interpret=False, emb_cast=None,
+                           logits_main=None, tail_logits=None):
+    """-> (dh (N, D) out_dtype, demb (V, D) f32, dbias (V,) f32), from the
+    logits SAVED by flash_ce_forward(save=True).
+
+    vs flash_ce_backward_dl this removes the whole 2*N*D*V logits-recompute
+    GEMM (4.2 TFLOP = a 21.3 ms MXU floor at the flagship N=8192/V=250054)
+    and replaces the bf16 dl round-trip with a bf16 logits round-trip of
+    the same byte count — dl is formed in VMEM inside both contraction
+    kernels.  Numerics: dl is computed from bf16-ROUNDED logits (the saved
+    storage dtype) instead of the recomputed f32 tiles; each dl element
+    carries ~2^-9 relative rounding noise from the exp, which averages out
+    in the N- (demb) and V- (dh) length contractions (measured against the
+    exact path in tests/test_flash_ce.py).  The ragged vocab tail runs in
+    exact f32 XLA from the forward's saved tail logits."""
+    n, d = h.shape
+    v = emb.shape[0]
+    v_main = logits_main.shape[1]
+    conf = 1.0 - label_smoothing
+    low = label_smoothing / (v - 1)
+    w = emb_cast if emb_cast is not None else emb.astype(h.dtype)
+    y = labels.reshape(n, 1).astype(jnp.int32)
+    lse2 = lse.reshape(n, 1).astype(jnp.float32)
+    rs2 = rowscale.reshape(n, 1).astype(jnp.float32)
+
+    dh = jnp.zeros((n, d), jnp.float32)
+    if v_main > 0:
+        rbw, vcw, rbh, vch = _save_tiles(n, v_main)
+        ncw = v_main // vcw
+        gw, gb = pl.pallas_call(
+            functools.partial(_ce_gw_save_kernel, vcw, conf, low),
+            grid=(ncw, n // rbw),
+            in_specs=[
+                pl.BlockSpec((rbw, vcw), lambda c, r: (r, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rbw, d), lambda c, r: (r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rbw, 1), lambda c, r: (r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rbw, 1), lambda c, r: (r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rbw, 1), lambda c, r: (r, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((vcw, d), lambda c, r: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, vcw), lambda c, r: (0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((v_main, d), jnp.float32),
+                jax.ShapeDtypeStruct((1, v_main), jnp.float32),
+            ],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * d * v_main,
+                bytes_accessed=2 * n * v_main
+                + ncw * 2 * n * d + 4 * v_main * d,
+                transcendentals=n * v_main,
+            ),
+        )(logits_main, h, y, lse2, rs2)
+
+        nch = v_main // vch
+        gh = pl.pallas_call(
+            functools.partial(_ce_gh_save_kernel, vch, conf, low),
+            grid=(n // rbh, nch),
+            in_specs=[
+                pl.BlockSpec((rbh, vch), lambda r, c: (r, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((vch, d), lambda r, c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rbh, 1), lambda r, c: (r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rbh, 1), lambda r, c: (r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rbh, 1), lambda r, c: (r, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((rbh, d), lambda r, c: (r, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * d * v_main,
+                bytes_accessed=2 * n * v_main
+                + (n // rbh) * 2 * v_main * d + 4 * n * d,
+                transcendentals=n * v_main,
+            ),
+        )(logits_main, w[:v_main], y, lse2, rs2)
+        dh = gh
+        gb = gb.reshape(v_main)
+    else:
+        gw = jnp.zeros((0, d), jnp.float32)
+        gb = jnp.zeros((0,), jnp.float32)
+
+    # ragged tail (< one vocab chunk): exact f32 XLA from the saved tail
+    if v_main < v:
+        vt = v - v_main
+        col = jnp.arange(vt)[None, :] + v_main
+        p_t = jnp.exp(tail_logits - lse.reshape(n, 1))
+        onehot = col == y
+        target = low + (conf - low) * onehot.astype(jnp.float32)
+        dl_t = (p_t - target) * rs2                          # (N, VT) f32
+        dlb_t = dl_t.astype(h.dtype)
+        dh = dh + jnp.einsum(
+            "nv,vd->nd", dlb_t, w[v_main:],
+            preferred_element_type=jnp.float32,
+        )
+        gw_t = jnp.einsum("nv,nd->vd", dlb_t, h,
+                          preferred_element_type=jnp.float32)
+        gb_t = jnp.sum(dl_t, axis=0)
+        gw = jnp.concatenate([gw, gw_t], axis=0)
+        gb = jnp.concatenate([gb, gb_t], axis=0)
+
+    return dh.astype(jnp.dtype(out_dtype_name)), gw, gb
 
 
 def _ce_dl_kernel(vocab, vc, conf, low,

@@ -41,9 +41,11 @@ def _resolve_mode(mode: str) -> str:
     "" = XLA chunked path, "fwd" = flash forward + XLA backward,
     "1" = flash forward and two-kernel backward, "dl" = flash forward +
     dl-materializing backward (one logits recompute; dh/demb as XLA GEMMs
-    over the bf16 dl tensor).  The two-kernel backward measured slower
-    than XLA's (341.4 vs 357.8 samples/s/chip) — its grad_W/grad_h split
-    recomputes the logits GEMM twice (PERFORMANCE.md)."""
+    over the bf16 dl tensor), "save" = logits-saving forward + a backward
+    with ZERO logits recomputes (the dh/demb contraction kernels form dl
+    in VMEM from the saved bf16 logits).  The two-kernel backward measured
+    slower than XLA's (341.4 vs 357.8 samples/s/chip) — its grad_W/grad_h
+    split recomputes the logits GEMM twice (PERFORMANCE.md)."""
     raw = override("MIC_TPU_FLASH_CE")
     if raw is not None:
         mode = raw
@@ -87,9 +89,9 @@ def fused_lm_loss(
     mode: str = "auto",     # flash-CE routing (TrainConfig.flash_ce)
     dl_max_rows: int = 8192,  # TrainConfig.dl_max_rows
 ) -> jnp.ndarray:
-    loss, _, _ = _fwd_impl(
+    loss, _, _, _ = _fwd_impl(
         hidden, embedding, bias, labels, mask, label_smoothing, chunk,
-        emb_cast, mode,
+        emb_cast, mode, dl_max_rows,
     )
     return loss
 
@@ -106,20 +108,34 @@ def _normalizing(label_smoothing, vocab):
 
 
 def _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk,
-              emb_cast=None, mode="auto"):
+              emb_cast=None, mode="auto", dl_max_rows=8192):
     b, t, d = hidden.shape
     vocab = embedding.shape[0]
     flash = _resolve_mode(mode)
+    n = b * t
+    # both the saved-logits buffer and the dl backward's bf16 (N, V)
+    # tensor scale with the row count; above the cap fall back to modes
+    # that never materialize an (N, V) plane
+    max_rows = int(override("MIC_TPU_DL_MAX_ROWS", str(dl_max_rows)))
+    if flash == "save" and n > max_rows:
+        flash = "dl"
 
     if flash:
         from mic_tpu.ops.flash_ce import flash_ce_forward
 
-        n = b * t
-        lse, lbl, zsum = flash_ce_forward(
-            hidden.reshape(n, d), embedding, bias, labels.reshape(n),
-            jax.default_backend() != "tpu",  # interpret off-TPU (tests)
-            emb_cast,
-        )
+        saved = None
+        interp = jax.default_backend() != "tpu"  # interpret off-TPU (tests)
+        if flash == "save":
+            lse, lbl, zsum, logits_main, tail = flash_ce_forward(
+                hidden.reshape(n, d), embedding, bias, labels.reshape(n),
+                interp, emb_cast, True,
+            )
+            saved = (logits_main, tail)
+        else:
+            lse, lbl, zsum = flash_ce_forward(
+                hidden.reshape(n, d), embedding, bias, labels.reshape(n),
+                interp, emb_cast,
+            )
         if label_smoothing > 0.0:
             confidence = 1.0 - label_smoothing
             low = label_smoothing / (vocab - 1)
@@ -130,7 +146,10 @@ def _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk,
         loss_sum = jnp.sum((lse - expected) * m2)
         denom = jnp.sum(m2)
         loss = loss_sum / denom - _normalizing(label_smoothing, vocab)
-        return loss, denom, (lse if flash in ("1", "dl") else None)
+        return (
+            loss, denom,
+            (lse if flash in ("1", "dl", "save") else None), saved,
+        )
 
     chunk = min(chunk, b * t)
     h = _chunk(hidden.reshape(b * t, d), chunk)
@@ -157,44 +176,65 @@ def _fwd_impl(hidden, embedding, bias, labels, mask, label_smoothing, chunk,
     (loss_sum, denom), _ = jax.lax.scan(
         body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)), (h, y, m)
     )
-    return loss_sum / denom - _normalizing(label_smoothing, vocab), denom, None
+    return (
+        loss_sum / denom - _normalizing(label_smoothing, vocab), denom,
+        None, None,
+    )
 
 
 def _fused_fwd(hidden, embedding, bias, labels, mask, label_smoothing, chunk,
                emb_cast=None, mode="auto", dl_max_rows=8192):
-    loss, denom, lse = _fwd_impl(
+    loss, denom, lse, saved = _fwd_impl(
         hidden, embedding, bias, labels, mask, label_smoothing, chunk,
-        emb_cast, mode,
+        emb_cast, mode, dl_max_rows,
     )
-    return loss, (hidden, embedding, bias, labels, mask, denom, lse, emb_cast)
+    return loss, (hidden, embedding, bias, labels, mask, denom, lse,
+                  emb_cast, saved)
 
 
 def _fused_bwd(label_smoothing, chunk, mode, dl_max_rows, res, g):
-    hidden, embedding, bias, labels, mask, denom, lse, emb_cast = res
+    (hidden, embedding, bias, labels, mask, denom, lse, emb_cast,
+     saved) = res
     b, t, d = hidden.shape
     vocab = embedding.shape[0]
 
     if lse is not None:
         from mic_tpu.ops.flash_ce import (
-            flash_ce_backward, flash_ce_backward_dl,
+            flash_ce_backward, flash_ce_backward_dl, flash_ce_backward_save,
         )
 
         n = b * t
         flash = _resolve_mode(mode)
+        rowscale = mask.reshape(n).astype(jnp.float32) * (g / denom)
+        interp = jax.default_backend() != "tpu"
+        if saved is not None:
+            # logits were saved by the forward: zero-recompute backward
+            dh, demb, dbias = flash_ce_backward_save(
+                hidden.reshape(n, d), embedding, bias, labels.reshape(n),
+                lse, rowscale, label_smoothing, str(hidden.dtype),
+                interp, emb_cast, saved[0], saved[1],
+            )
+            return (
+                dh.reshape(b, t, d),
+                demb.astype(embedding.dtype),
+                dbias.astype(bias.dtype),
+                None,
+                None,
+                _zero_ct(emb_cast),
+            )
         # the dl backward materializes a bf16 (N, V) gradient tensor; above
         # ~8k rows at mBART's vocab that transient alone is >4 GB, so huge
         # batches fall back to the XLA chunked backward (which ignores lse)
         max_dl_rows = int(override("MIC_TPU_DL_MAX_ROWS", str(dl_max_rows)))
-        if flash == "dl" and n > max_dl_rows:
+        if flash in ("dl", "save") and n > max_dl_rows:
             pass  # fall through to the XLA chunked backward below
         else:
-            rowscale = mask.reshape(n).astype(jnp.float32) * (g / denom)
-            bwd = (flash_ce_backward_dl if flash == "dl"
+            bwd = (flash_ce_backward_dl if flash in ("dl", "save")
                    else flash_ce_backward)
             dh, demb, dbias = bwd(
                 hidden.reshape(n, d), embedding, bias, labels.reshape(n),
                 lse, rowscale, label_smoothing, str(hidden.dtype),
-                jax.default_backend() != "tpu", emb_cast,
+                interp, emb_cast,
             )
             return (
                 dh.reshape(b, t, d),

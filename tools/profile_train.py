@@ -135,6 +135,40 @@ def build_step(batch_size: int, seq: int = 64, remat="full", attn="xla"):
     return p_step, state, make_batch
 
 
+def classify_scope(tf_op: str, name: str) -> str:
+    """Attribute a leaf op to a model-level family from its jaxpr scope path
+    (the xplane ``tf_op`` stat XLA carries through from op_metadata).
+
+    This is the dissection of the old budget table's "remaining fusions"
+    blob: every generic `fusion.N` lands in a named row (VERDICT r4 item 2).
+    """
+    bwd = "transpose(jvp" in tf_op
+    in_scan = "/while/" in tf_op
+    if "flash_ce" in tf_op or "fused_ce" in tf_op:
+        if "nv,nd->vd" in tf_op:
+            return "CE demb GEMM (nv,nd->vd)"
+        return "CE bwd glue" if bwd else "CE fwd glue"
+    if "rng" in name or "rbg" in name or "threefry" in tf_op:
+        return "rng (dropout masks)"
+    if "_take" in tf_op or "scatter" in name:
+        return "embedding gather/scatter-add"
+    if in_scan:
+        side = "bwd" if bwd else "fwd"
+        if "bqhd" in tf_op or "bhqk" in tf_op:
+            return f"layer-stack {side}: attention einsums"
+        if "dot_general" in tf_op:
+            return f"layer-stack {side}: projection/MLP GEMMs"
+        if "dynamic" in tf_op or "dynamic" in name:
+            return f"layer-stack {side}: grad-slab/param DUS + slices"
+        return f"layer-stack {side}: LN/residual/elementwise"
+    if bwd or "jvp" in tf_op:
+        return "non-scan fwd/bwd glue (vision bridge, loss, masks)"
+    if tf_op.startswith("jit(train_step)/"):
+        # top-level, outside autodiff: the optimizer + shadow refresh
+        return "optimizer: adamw + bf16 shadow refresh"
+    return "other"
+
+
 def aggregate(xplane_path: str, steps: int, top: int) -> None:
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
@@ -146,6 +180,14 @@ def aggregate(xplane_path: str, steps: int, top: int) -> None:
         if "TPU" not in plane.name:
             continue
         ev_names = {i: m.name for i, m in plane.event_metadata.items()}
+        stat_names = {i: m.name for i, m in plane.stat_metadata.items()}
+        ev_scope = {}
+        for i, m in plane.event_metadata.items():
+            tf_op = ""
+            for s in m.stats:
+                if stat_names.get(s.metadata_id) == "tf_op":
+                    tf_op = s.str_value
+            ev_scope[i] = tf_op
         for line in plane.lines:
             if line.name != "XLA Ops":
                 continue
@@ -173,6 +215,22 @@ def aggregate(xplane_path: str, steps: int, top: int) -> None:
                   f"wrappers (incl. children): {wrapper_ms:.1f} ms")
             rows = [(k, v) for k, v in fam.items()] + list(other.items())
             for k, v in sorted(rows, key=lambda kv: -kv[1]):
+                ms = v / 1e9
+                if ms < 0.5:
+                    continue
+                print(f"  {ms:9.2f} ms  {ms/steps:8.3f} ms/step  {k}")
+
+            # model-level attribution from the jaxpr scope paths: no more
+            # "remaining fusions" blob — every leaf lands in a named row
+            print("\n-- by model family (tf_op scope) --")
+            scope = defaultdict(int)
+            for ev in line.events:
+                name = ev_names.get(ev.metadata_id, "?")
+                if FAMILIES[0][1].search(name):
+                    continue
+                scope[classify_scope(ev_scope.get(ev.metadata_id, ""),
+                                     name)] += ev.duration_ps
+            for k, v in sorted(scope.items(), key=lambda kv: -kv[1]):
                 ms = v / 1e9
                 if ms < 0.5:
                     continue
