@@ -353,7 +353,10 @@ class DataConfig(_JsonMixin):
     validation_file: str | None = None
     images_dir: str = ""
     max_seq_length: int = 64
-    num_workers: int = 8
+    # decode workers: -1 = autosize to the machine (cores - 2, capped at 32;
+    # 0 on <=2-core hosts, where in-process decode measured faster than a
+    # 1-worker spawn pool — tools/bench_loader.py)
+    num_workers: int = -1
     prefetch: int = 2
     # languages and their mBART-50 language codes
     lang_codes: tuple = ("en_XX", "fr_XX", "es_XX", "de_DE")

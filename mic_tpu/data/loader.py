@@ -24,6 +24,7 @@ decoder shift applied here, not in the step):
 from __future__ import annotations
 
 import multiprocessing as mp
+import os
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
@@ -43,6 +44,16 @@ def shift_tokens_right(input_ids: np.ndarray, pad_token_id: int) -> np.ndarray:
     return shifted
 
 _WORKER = {}
+
+
+def _auto_workers() -> int:
+    """Decode-pool autosizing (num_workers=-1): one spawn worker per core
+    beyond two reserved for the trainer's host thread (device dispatch) and
+    IO, capped at 32 (CC12M sizing, PERFORMANCE.md loader section).  On
+    <=2-core hosts the pool is skipped entirely — in-process decode measured
+    FASTER than a 1-worker spawn pool there (399 vs lower, bench_loader)."""
+    cores = os.cpu_count() or 1
+    return 0 if cores <= 2 else min(32, cores - 2)
 
 
 def _init_worker(dataset, tokenizer, image_size, max_length, lang_codes):
@@ -105,7 +116,7 @@ class CaptionLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
-        self.num_workers = num_workers
+        self.num_workers = _auto_workers() if num_workers < 0 else num_workers
         self.prefetch = prefetch
         self.lang_codes = tuple(lang_codes)
         # multi-host: every process builds the SAME global batch order (same

@@ -31,6 +31,13 @@ def _load():
                     ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
                     ctypes.POINTER(ctypes.c_uint8),
                 ]
+                try:
+                    lib.mic_validate_jpeg.restype = ctypes.c_int
+                    lib.mic_validate_jpeg.argtypes = [
+                        ctypes.c_char_p, ctypes.c_size_t,
+                    ]
+                except AttributeError:  # older .so without the validator
+                    pass
                 _LIB = lib
             except OSError:
                 _LIB = None
@@ -39,6 +46,17 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def validate_jpeg(data: bytes) -> Optional[bool]:
+    """Full-stream JPEG validity check at 1/8 DCT scale in C, off-GIL
+    (the downloader's content check — a corrupt/truncated stream fails the
+    entropy decode).  None when the native library (or the symbol, in an
+    older build) is unavailable; callers fall back to a PIL decode."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mic_validate_jpeg"):
+        return None
+    return lib.mic_validate_jpeg(data, len(data)) == 0
 
 
 def decode_jpeg(data: bytes, size: int) -> Optional[np.ndarray]:

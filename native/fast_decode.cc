@@ -11,7 +11,16 @@
 // Exposed C ABI (ctypes-friendly, see mic_tpu/data/native.py):
 //   int mic_decode_jpeg(const uint8_t* data, size_t len, int out_size,
 //                       uint8_t* out);   // out: out_size*out_size*3 RGB
-// Returns 0 on success, nonzero on decode failure.
+//   int mic_validate_jpeg(const uint8_t* data, size_t len);
+// Return 0 on success, nonzero on decode failure.
+//
+// mic_validate_jpeg is the downloader's content check (download.py used to
+// validate by a full PIL decode, which holds the GIL and serializes the
+// thread pool — reference data/download_data.py:30-68 paid for this with
+// 256 *processes*): it runs the entire entropy decode at the cheapest DCT
+// scale (1/8) with no color conversion and no output buffer, so a corrupt
+// stream is still caught anywhere in the file, in ~1/10 the work, off-GIL
+// (ctypes.CDLL releases the GIL for the call's duration).
 //
 // Build: tools/build_native.sh  (g++ -O3 -shared -fPIC -ljpeg)
 
@@ -54,6 +63,46 @@ inline void sample(const uint8_t* src, int h, int w, float fy, float fx,
 }
 
 }  // namespace
+
+extern "C" int mic_validate_jpeg(const uint8_t* data, size_t len) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  // full entropy decode at 1/8 DCT scale, raw DCT-space color (no convert)
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = 8;
+  cinfo.do_fancy_upsampling = FALSE;
+  cinfo.dct_method = JDCT_FASTEST;
+  jpeg_start_decompress(&cinfo);
+  const int w = cinfo.output_width, comps = cinfo.output_components;
+  if (w < 1 || comps < 1 || comps > 4) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  std::vector<uint8_t> row(static_cast<size_t>(w) * comps);
+  uint8_t* rp = row.data();
+  while (cinfo.output_scanline < cinfo.output_height) {
+    jpeg_read_scanlines(&cinfo, &rp, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  // truncation surfaces as a WARNING ("Premature end of JPEG file") with
+  // fake-data fill, not error_exit — a validator must reject it
+  const long warnings = cinfo.err->num_warnings;
+  jpeg_destroy_decompress(&cinfo);
+  return warnings > 0 ? 4 : 0;
+}
 
 extern "C" int mic_decode_jpeg(const uint8_t* data, size_t len, int out_size,
                                uint8_t* out) {

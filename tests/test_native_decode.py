@@ -47,3 +47,52 @@ def test_load_image_uses_native_and_survives_garbage(tmp_path, jpeg_path):
     bad = tmp_path / "bad.jpg"
     bad.write_bytes(b"\xff\xd8\xff\xe0garbage")
     assert native.decode_jpeg(bad.read_bytes(), 48) is None
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_validate_jpeg(jpeg_path, tmp_path):
+    """Off-GIL content validation (the downloader's check): accepts valid
+    RGB and grayscale streams, rejects truncation and garbage."""
+    data = open(jpeg_path, "rb").read()
+    assert native.validate_jpeg(data) is True
+    # truncated stream: libjpeg only WARNS ("premature end") — must reject
+    assert native.validate_jpeg(data[: len(data) // 2]) is False
+    assert native.validate_jpeg(b"\xff\xd8\xff" + b"\x00" * 64) is False
+    gray = Image.fromarray(
+        np.linspace(0, 255, 64 * 64).reshape(64, 64).astype(np.uint8), "L"
+    )
+    import io
+
+    buf = io.BytesIO()
+    gray.save(buf, "JPEG")
+    assert native.validate_jpeg(buf.getvalue()) is True
+
+
+def test_downloader_validate_routes(tmp_path, monkeypatch):
+    """tools/data/download.py _validate: JPEG goes native when available,
+    non-JPEG and corrupt fall back to (or are rejected by) PIL."""
+    import importlib.util
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "download_tool",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "data",
+                     "download.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import io
+
+    img = Image.fromarray(np.zeros((32, 32, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, "JPEG")
+    mod._validate(buf.getvalue())  # no raise
+    png = io.BytesIO()
+    img.save(png, "PNG")
+    mod._validate(png.getvalue())  # PIL path, no raise
+    with pytest.raises(Exception):
+        mod._validate(b"\xff\xd8\xff" + b"\x00" * 64)
+    with pytest.raises(Exception):
+        mod._validate(b"not an image")

@@ -36,9 +36,29 @@ def _filename(url: str) -> str:
     return f"{zlib.crc32(url.encode()) & 0xFFFFFFFF:08x}_{safe}"
 
 
+def _validate(data: bytes) -> None:
+    """Raise if ``data`` is not a decodable image.  JPEG payloads go through
+    the native off-GIL validator when the library is built (full entropy
+    decode at 1/8 DCT scale — mic_validate_jpeg, native/fast_decode.cc), so
+    the download thread pool scales across cores instead of serializing on
+    PIL's GIL-held decode; everything else (PNG, grayscale JPEG fallbacks)
+    still PIL-decodes."""
+    if data[:3] == b"\xff\xd8\xff":
+        try:
+            from mic_tpu.data.native import validate_jpeg
+        except ImportError:  # run outside the repo root
+            validate_jpeg = lambda _: None  # noqa: E731
+        if validate_jpeg(data):
+            return
+        # native unavailable, or it says corrupt — let PIL arbitrate (its
+        # error is what callers catch)
+    from PIL import Image
+
+    Image.open(io.BytesIO(data)).convert("RGB")
+
+
 def fetch_one(row_id: int, caption: str, url: str, out_dir: str):
     import requests
-    from PIL import Image
 
     name = _filename(url)
     path = os.path.join(out_dir, name)
@@ -52,7 +72,7 @@ def fetch_one(row_id: int, caption: str, url: str, out_dir: str):
             data = resp.raw.read(MAX_BYTES + 1, decode_content=True)
             if len(data) > MAX_BYTES:
                 raise ValueError("too large")
-            Image.open(io.BytesIO(data)).convert("RGB")  # validate by decoding
+            _validate(data)
             with open(path, "wb") as f:
                 f.write(data)
         return (row_id, name, caption, url, 200)
