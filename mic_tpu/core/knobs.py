@@ -65,6 +65,8 @@ EXPERIMENTAL: dict[str, str] = {
                             "(390.6 vs 389.2)",
     "bucket_bv": "=<BV> vocab-chunk width override inside the fused-head "
                  "bucket kernel (ops/fused_head.py)",
+    "ln_qkv": "fold ln_self into the decode qkv GEMM's prologue "
+              "(ops/ln_gemm.py) — VERDICT r5 measured shot",
 }
 
 

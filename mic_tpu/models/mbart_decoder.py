@@ -472,16 +472,25 @@ def _decoder_step_lazy(
         and cfg.ffn_dim % 512 == 0
     )
 
+    # MIC_TPU_EXPERIMENTAL=ln_qkv: fold ln_self into the qkv GEMM's prologue
+    # (ops/ln_gemm.py) instead of a separate LN fusion per layer
+    ln_fused = (
+        experimental("ln_qkv", "0") == "1"
+        and not post
+        and jax.default_backend() == "tpu"
+    )
+
     new_k, new_v = [], []
     for l in range(cfg.num_layers):
         p = jax.tree.map(lambda a, _l=l: a[_l], params["layers"])
         r = x
-        if not post:
+        if not post and not ln_fused:
             x = layer_norm(p["ln_self"], x, eps)
         x, sk, sv = mha_decode_step_lazy(
             p["self_attn"], x, cache.self_k[l], cache.self_v[l],
             cache.ancestry, index, cfg.num_heads, beams, buckets=buckets,
             amask=amask, dma=dma,
+            ln=(p["ln_self"], eps) if ln_fused else None,
         )
         new_k.append(sk)
         new_v.append(sv)

@@ -177,6 +177,8 @@ def mha_decode_step_lazy(
     buckets: tuple = (),     # static read-prefix lengths; () = full window
     amask: Optional[jnp.ndarray] = None,  # (B, K*T, K) int8: use fused kernel
     dma: bool = False,       # with amask: v2 DMA pass-through kernel
+    ln: Optional[tuple] = None,  # (ln_params, eps): x is PRE-norm; fuse the
+                                 # LN into the qkv GEMM (ops/ln_gemm.py)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Cached beam self-attention without physical cache reordering.
 
@@ -195,7 +197,33 @@ def mha_decode_step_lazy(
     bk, one, d = x.shape
     head_dim = d // num_heads
     b = bk // beams
-    if "qkv" in params:
+    if ln is not None:
+        from mic_tpu.ops import ln_gemm as _lg
+
+        fusable = (
+            "qkv" in params
+            and "kernel" in params["qkv"]
+            and params["qkv"]["kernel"].ndim == 2
+            and _lg.supports(x.reshape(bk, d), params["qkv"]["kernel"])
+        )
+        if not fusable:
+            from mic_tpu.nn.layers import layer_norm
+
+            x = layer_norm(ln[0], x, ln[1])
+            ln = None
+    if ln is not None:
+        # MIC_TPU_EXPERIMENTAL=ln_qkv: LN folded into the qkv GEMM's
+        # prologue (one x read, no normalized-activation round-trip)
+        qkv = _lg.ln_gemm(
+            x.reshape(bk, d), ln[0]["scale"], ln[0]["bias"],
+            params["qkv"]["kernel"], params["qkv"]["bias"], ln[1],
+            jax.default_backend() != "tpu",
+        ).reshape(bk, one, 3 * d)
+        q, k_flat, v_flat = jnp.split(qkv, 3, axis=-1)
+        q = q * (head_dim**-0.5)
+        k_step = split_heads(k_flat, num_heads)
+        v_step = split_heads(v_flat, num_heads)
+    elif "qkv" in params:
         # fused projection (models/mbart_decoder.py fuse_qkv_params): ONE
         # (rows, D) x (D, 3D) GEMM instead of three — bit-identical columns
         qkv = dense(params["qkv"], x)                           # (BK, 1, 3D)

@@ -64,6 +64,7 @@ _EXPERIMENT_MODULES = {
     "unroll_layers": "mic_tpu.nn.stacked",
     "scan_split_transpose": "mic_tpu.nn.stacked",
     "bucket_bv": "mic_tpu.ops.fused_head",
+    "ln_qkv": "mic_tpu.ops.ln_gemm",
 }
 
 
