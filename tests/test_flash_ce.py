@@ -138,3 +138,38 @@ def test_save_all_tail_vocab(monkeypatch):
         # the odd element (exp(tail - lse) vs softmax differ at ~1e-7)
         np.testing.assert_allclose(a / scale, b_ / scale, rtol=0,
                                    atol=8e-3, err_msg=name)
+
+
+def test_save_degrades_to_dl_above_row_cap(monkeypatch):
+    """Above dl_max_rows the save mode must not materialize the (N, V)
+    logits residual: the forward runs non-saving (saved is None) and the
+    backward takes the dl route's own size fallback.  Loss/grads still
+    match the XLA chunked path."""
+    monkeypatch.setenv("MIC_TPU_FLASH_CE", "save")
+    monkeypatch.setenv("MIC_TPU_DL_MAX_ROWS", "16")  # < N = 2*16 rows
+    hidden, emb, bias, labels, mask = _inputs()
+
+    from mic_tpu.ops import fused_ce
+
+    # the forward impl must fall back to "dl" routing (no saved logits)
+    _, _, lse, saved = fused_ce._fwd_impl(
+        hidden, emb, bias, labels, mask, 0.1, 64, None, "save",
+        dl_max_rows=16,
+    )
+    assert saved is None and lse is not None
+
+    def run():
+        def f(h, e, b):
+            return fused_lm_loss(h, e, b, labels, mask, 0.1, 64)
+        return jax.value_and_grad(f, argnums=(0, 1, 2))(hidden, emb, bias)
+
+    loss_s, grads_s = jax.jit(run)()
+    monkeypatch.setenv("MIC_TPU_FLASH_CE", "0")
+    loss_r, grads_r = jax.jit(run)()
+    np.testing.assert_allclose(float(loss_s), float(loss_r),
+                               rtol=2e-5, atol=2e-5)
+    for a, b_, name in zip(grads_s, grads_r, ["dh", "demb", "dbias"]):
+        a, b_ = np.asarray(a, np.float64), np.asarray(b_, np.float64)
+        scale = np.abs(b_).max() + 1e-9
+        np.testing.assert_allclose(a / scale, b_ / scale, rtol=0,
+                                   atol=8e-3, err_msg=name)
