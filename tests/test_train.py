@@ -330,3 +330,50 @@ def test_remat_matches_no_remat(tmp_path):
             losses["none"][1], losses[remat][1], rtol=1e-5, atol=1e-7,
             err_msg=remat,
         )
+
+
+@pytest.mark.slow
+def test_shadow_restore_bit_equal_under_fsdp_tp(tmp_path):
+    """VERDICT r4 item 4: with shadow params ACTIVE (bf16 compute dtype),
+    train under fsdp + tp=2 on the CPU mesh, save, restore in a fresh
+    trainer: master params bit-equal, and the REBUILT shadow (checkpoints
+    strip it, trainer.py restore rebuilds) == astype(master) leaf-for-leaf."""
+    from mic_tpu.train.trainer import Trainer
+
+    train_tsv, val_tsv, img_dir = make_synthetic_dataset(tmp_path)
+    mc, dc, tc = tiny_configs(
+        tmp_path, train_tsv, val_tsv, img_dir, fsdp=True, tp=2, num_epochs=1,
+        output_dir=str(tmp_path / "run_shadow_fsdp"),
+    )
+    mc = mc.replace(dtype="bfloat16")
+    trainer = Trainer(mc, dc, tc)
+    assert trainer.tc.shadow_params
+    state = trainer.train()
+    trainer.ckpt.close()
+    assert state.shadow is not None  # shadow really was active
+
+    trainer2 = Trainer(mc, dc, tc)
+    loader, _ = trainer2.make_loaders()
+    trainer2.build(len(loader))
+    state2 = trainer2.init_or_resume(loader)
+
+    for x, y in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(jax.device_get(state2.params))):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # rebuilt shadow leaves == astype(master) where the spec shadows them
+    flat_master = dict(jax.tree_util.tree_flatten_with_path(
+        jax.device_get(state2.params))[0])
+    n_checked = 0
+    for path, sh in jax.tree_util.tree_flatten_with_path(
+            jax.device_get(state2.shadow))[0]:
+        # spec leaves are bf16-SHADOWED or f32 pass-through (f32-consumed
+        # leaves like layer norms keep master precision — train/shadow.py)
+        m = flat_master[path]
+        np.testing.assert_array_equal(
+            np.asarray(sh), np.asarray(m.astype(sh.dtype))
+        )
+        if sh.dtype == jnp.bfloat16:
+            n_checked += 1
+    assert n_checked > 0
+    trainer2.ckpt.close()
