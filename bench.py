@@ -84,7 +84,12 @@ def bench_train(config) -> float:
     )
 
     model = Captioner(config, remat="masks")
-    optimizer = make_optimizer(linear_warmup_linear_decay(5e-5, 10000, 1000))
+    # bf16 adam moments: the TrainConfig default (convergence A/B in
+    # PERFORMANCE.md).  MIC_TPU_MOMENT_DTYPE=float32 for A/B.
+    optimizer = make_optimizer(
+        linear_warmup_linear_decay(5e-5, 10000, 1000),
+        mu_dtype="bfloat16", nu_dtype="bfloat16",
+    )
     # compute-dtype shadow params (train/shadow.py): bit-identical step,
     # ~5 ms/step fewer f32->bf16 weight casts.  MIC_TPU_SHADOW=0 for A/B.
     use_shadow = os.environ.get("MIC_TPU_SHADOW", "1") != "0"

@@ -52,6 +52,7 @@ def make_optimizer(
     eps: float = 1e-8,
     max_grad_norm: float | None = None,
     mu_dtype=None,
+    nu_dtype=None,
     fused: bool = True,
 ):
     """AdamW with no decay on LayerNorm/bias params (standard practice; the
@@ -64,7 +65,21 @@ def make_optimizer(
     updates-tree-then-apply costs two round-trips over the 1 GB embedding
     slab.  `fused=False` gives the plain optax chain.  Either way, apply
     one step with `fused_adamw.apply_gradients(optimizer, params, grads,
-    opt_state)`."""
+    opt_state)`.
+
+    `mu_dtype`/`nu_dtype` store the adam moments reduced-precision (update
+    math stays f32 — see fused_adamw.make_fused_adamw).  Env override:
+    MIC_TPU_MOMENT_DTYPE sets BOTH when set (deployment A/B lever, resolved
+    here).  `nu_dtype` needs the fused path: optax.adamw only supports
+    mu_dtype, so fused=False raises rather than silently keeping f32 nu."""
+    from mic_tpu.core.knobs import override
+
+    md = override("MIC_TPU_MOMENT_DTYPE")
+    if md is not None:
+        mu_dtype = nu_dtype = md
+    # "float32" (the config default) == f32 master-dtype moments == None
+    norm = lambda d: None if d in (None, "", "float32", "f32") else d
+    mu_dtype, nu_dtype = norm(mu_dtype), norm(nu_dtype)
 
     def decay_mask(params):
         def is_decayed(path, leaf):
@@ -79,9 +94,13 @@ def make_optimizer(
 
         return make_fused_adamw(
             learning_rate_fn, b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype,
-            weight_decay=weight_decay,
+            nu_dtype=nu_dtype, weight_decay=weight_decay,
             decay_mask_fn=decay_mask if weight_decay > 0 else None,
             max_grad_norm=max_grad_norm,
+        )
+    if nu_dtype is not None:
+        raise ValueError(
+            "nu_dtype requires the fused optimizer (optax.adamw keeps nu f32)"
         )
     tx = optax.adamw(
         learning_rate=learning_rate_fn, b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype,

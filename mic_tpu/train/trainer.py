@@ -129,7 +129,8 @@ class Trainer:
         self.optimizer = make_optimizer(
             self.lr_fn, weight_decay=tc.weight_decay, b1=tc.adam_b1,
             b2=tc.adam_b2, eps=tc.adam_eps, max_grad_norm=tc.max_grad_norm,
-            mu_dtype=tc.adam_mu_dtype, fused=tc.fused_adamw,
+            mu_dtype=tc.adam_mu_dtype, nu_dtype=tc.adam_nu_dtype,
+            fused=tc.fused_adamw,
         )
 
         model, image_size = self.model, self.mc.vision.image_size

@@ -134,3 +134,71 @@ def test_jit_and_grad_dtype_preserved():
     new_p, new_s = step(params, grads_for(params, 0), state)
     for a, b in zip(jax.tree.leaves(new_p), jax.tree.leaves(params)):
         assert a.dtype == b.dtype and a.shape == b.shape
+
+
+def test_bf16_moments_track_f32():
+    """mu/nu in bf16 (the MIC_TPU_MOMENT_DTYPE lever): moments are stored
+    rounded but the update math is f32 — a multi-step trajectory must stay
+    within bf16 rounding of the f32-moment reference, and the state dtypes
+    must actually be bf16 (the HBM saving is real, not a cast-back)."""
+    params = tree()
+    opt16 = make_optimizer(lr_schedule, mu_dtype="bfloat16",
+                           nu_dtype="bfloat16")
+    opt32 = make_optimizer(lr_schedule)
+    p16, s16 = run_traj(opt16, params, steps=8)
+    p32, _ = run_traj(opt32, params, steps=8)
+    for leaf in jax.tree.leaves(s16.mu) + jax.tree.leaves(s16.nu):
+        assert leaf.dtype == jnp.bfloat16
+    # bf16 relative resolution is 2^-8; 8 steps of moment rounding stays
+    # within a few ulps of that on the params
+    assert_trees_close(p16, p32, rtol=5e-2, atol=5e-4)
+
+
+def test_moment_dtype_env_override(monkeypatch):
+    monkeypatch.setenv("MIC_TPU_MOMENT_DTYPE", "bfloat16")
+    opt = make_optimizer(1e-3)
+    st = opt.init(tree())
+    for leaf in jax.tree.leaves(st.mu) + jax.tree.leaves(st.nu):
+        assert leaf.dtype == jnp.bfloat16
+
+
+def test_nu_dtype_requires_fused():
+    with pytest.raises(ValueError):
+        make_optimizer(1e-3, nu_dtype="bfloat16", fused=False)
+    # the config default string is NOT a request for reduced precision
+    make_optimizer(1e-3, nu_dtype="float32", fused=False)
+
+
+def test_f32_checkpoint_restores_under_bf16_moment_template(tmp_path):
+    """Checkpoint-compat for the round-5 default flip: a checkpoint written
+    with f32 moments restores under the bf16-moment default (Orbax casts
+    onto the template — a one-time rounding, documented in PERFORMANCE.md;
+    pin adam_*_dtype=float32 for bit-exact resume of old runs)."""
+    import orbax.checkpoint as ocp
+
+    from mic_tpu.io.checkpoint import TrainCheckpointManager
+
+    params = {"w": jnp.ones((4, 8), jnp.float32)}
+    opt32 = make_optimizer(1e-3, mu_dtype="float32", nu_dtype="float32")
+    st = TrainState.create(params, opt32, 0)
+    g = {"w": jnp.full((4, 8), 0.25, jnp.float32)}
+    p2, s2 = apply_gradients(opt32, params, g, st.opt_state)
+    st = st._replace(params=p2, opt_state=s2)
+
+    mgr = TrainCheckpointManager(str(tmp_path))
+    mgr.save(1, st)
+    mgr.manager.wait_until_finished()
+
+    opt16 = make_optimizer(1e-3, mu_dtype="bfloat16", nu_dtype="bfloat16")
+    tmpl = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        TrainState.create(params, opt16, 0),
+    )
+    restored = mgr.manager.restore(1, args=ocp.args.StandardRestore(tmpl))
+    mgr.manager.close()
+    assert jax.tree.leaves(restored.opt_state.mu)[0].dtype == jnp.bfloat16
+    assert jax.tree.leaves(restored.opt_state.nu)[0].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.opt_state.mu)[0], np.float32),
+        np.asarray(jax.tree.leaves(s2.mu)[0], np.float32), rtol=1e-2,
+    )

@@ -225,6 +225,9 @@ def main() -> None:
     ap.add_argument("--log_every", type=int, default=20)
     ap.add_argument("--skip_shadow_off", action="store_true",
                     help="only train the shadow-on arm (decode A/B only)")
+    ap.add_argument("--skip_decode_ab", action="store_true",
+                    help="train + eval only (e.g. an optimizer-numerics A/B "
+                         "arm driven via MIC_TPU_MOMENT_DTYPE)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -237,9 +240,10 @@ def main() -> None:
         t_off.ckpt.close()
         del t_off, s_off, el_off
 
-    decode, recall = decode_ab(trainer, state, eval_loaders, args)
-    report["decode_ab"] = decode
-    report["trained_per_step_recall"] = recall
+    if not args.skip_decode_ab:
+        decode, recall = decode_ab(trainer, state, eval_loaders, args)
+        report["decode_ab"] = decode
+        report["trained_per_step_recall"] = recall
     trainer.ckpt.close()
 
     path = os.path.join(args.out, "report.json")

@@ -60,7 +60,11 @@ def build_step(batch_size: int, seq: int = 64, remat="full", attn="xla"):
 
     config = CaptionerConfig.clip_vit_b32_mbart50(dtype="bfloat16")
     model = Captioner(config, remat=remat, attn_impl=attn)
-    optimizer = make_optimizer(linear_warmup_linear_decay(5e-5, 10000, 1000))
+    # bf16 adam moments, matching TrainConfig/bench.py defaults
+    optimizer = make_optimizer(
+        linear_warmup_linear_decay(5e-5, 10000, 1000),
+        mu_dtype="bfloat16", nu_dtype="bfloat16",
+    )
     # compute-dtype shadow params, matching bench.py (MIC_TPU_SHADOW=0 A/B)
     use_shadow = os.environ.get("MIC_TPU_SHADOW", "1") != "0"
     sh_spec = None
