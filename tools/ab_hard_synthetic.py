@@ -228,11 +228,20 @@ def main() -> None:
     ap.add_argument("--skip_decode_ab", action="store_true",
                     help="train + eval only (e.g. an optimizer-numerics A/B "
                          "arm driven via MIC_TPU_MOMENT_DTYPE)")
+    ap.add_argument("--save_model", action="store_true",
+                    help="save the converged primary arm to <out>/model "
+                         "(tools/bench_trained.py input: realistic-length "
+                         "trained-weights serving numbers)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     report = {}
     trainer, state, eval_loaders, losses_on, eval_on = train_arm(args, True)
+    if args.save_model:
+        model_dir = os.path.join(args.out, "model")
+        trainer.model.save_pretrained(model_dir, state.params)
+        trainer.tokenizer.save(os.path.join(model_dir, "tokenizer.json"))
+        print(f"saved converged model to {model_dir}", file=sys.stderr)
     report["shadow_on"] = {"losses": losses_on, "eval": eval_on}
     if not args.skip_shadow_off:
         t_off, s_off, el_off, losses_off, eval_off = train_arm(args, False)
